@@ -1,0 +1,24 @@
+import os
+import sys
+
+# Tests run on a virtual multi-device CPU mesh so sharding logic is exercised
+# without TPU hardware (the TPU-world analog of the reference's
+# no-cluster-needed testing, SURVEY.md §4).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_DIR = "/root/reference"
+
+
+def reference_path(*parts):
+    return os.path.join(REFERENCE_DIR, *parts)
+
+
+def has_reference():
+    return os.path.isdir(REFERENCE_DIR)

@@ -1,0 +1,106 @@
+"""Dense engine vs exact Dijkstra oracle: optimal-cost equality.
+
+This is the dense-DP analog of the reference's invariance-across-strategies
+testing pattern (lib_tsalign/src/tests.rs:38-194): the same optimum must be
+produced by structurally different engines.
+"""
+
+import numpy as np
+import pytest
+
+from tsalign_tpu.alphabet import get_alphabet
+from tsalign_tpu.config import TemplateSwitchConfig
+from tsalign_tpu.engine import DenseAligner
+from tsalign_tpu.geometry import AlignmentRange
+from tsalign_tpu.oracle import OracleAligner
+
+from util import random_config, random_pair, related_pair
+
+INF = 2**62
+
+
+def engine_cost(cfg, ref, qry, **kw):
+    c = DenseAligner(cfg, ref, qry, **kw).align().cost
+    return None if c >= INF else c
+
+
+def oracle_cost(cfg, ref, qry, **kw):
+    c, _ = OracleAligner(cfg, ref, qry, **kw).align()
+    return c
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_engine_matches_oracle_randomized(seed):
+    rng = np.random.default_rng(100 + seed)
+    al = get_alphabet("dna")
+    for trial in range(30):
+        cfg = random_config(rng, al, flanks=(trial % 3 == 0))
+        if trial % 5 == 0:
+            ref, qry = random_pair(rng, al, max_len=8, min_len=0)
+        else:
+            ref, qry = related_pair(rng, al, max_len=9)
+        mts = [None, 0, 1, 2, 3][trial % 5]
+        prune = trial % 7 == 3
+        rng_obj = None
+        if trial % 4 == 1 and len(ref) > 2 and len(qry) > 2:
+            ro = int(rng.integers(0, len(ref) // 2))
+            rl = int(rng.integers(ro + 1, len(ref) + 1))
+            qo = int(rng.integers(0, len(qry) // 2))
+            ql = int(rng.integers(qo + 1, len(qry) + 1))
+            rng_obj = AlignmentRange(ro, qo, rl, ql)
+        kw = dict(range_=rng_obj, max_template_switches=mts, prune_range=prune)
+        oc = oracle_cost(cfg, ref, qry, **kw)
+        ec = engine_cost(cfg, ref, qry, **kw)
+        assert oc == ec, (
+            f"trial={trial} mts={mts} prune={prune} range={rng_obj} "
+            f"ref={list(ref)} qry={list(qry)} oracle={oc} engine={ec}"
+        )
+
+
+def test_engine_planted_rc_tsm_default_config():
+    """A planted reverse-complement stretch must be explained by a TSM
+    (cheaper than the pure gap-affine alignment) under the shipped default
+    cost model (sample_tsa_config/config.tsa)."""
+    al = get_alphabet("dna")
+    cfg = TemplateSwitchConfig.default(al)
+    rng = np.random.default_rng(5)
+    n = 30
+    ref = rng.integers(0, 4, size=n).astype(np.int8)
+    qry = ref.copy()
+    comp = al.complement_array()
+    qry[10:20] = [comp[c] for c in qry[10:20]][::-1]
+
+    no_ts = engine_cost(cfg, ref, qry, max_template_switches=0)
+    with_ts = engine_cost(cfg, ref, qry)
+    assert with_ts is not None and no_ts is not None
+    assert with_ts < no_ts
+    oc = oracle_cost(cfg, ref, qry)
+    assert oc == with_ts
+
+
+def test_engine_two_tsms_need_two_rounds():
+    al = get_alphabet("dna")
+    cfg = TemplateSwitchConfig.default(al)
+    rng = np.random.default_rng(11)
+    n = 40
+    ref = rng.integers(0, 4, size=n).astype(np.int8)
+    qry = ref.copy()
+    comp = al.complement_array()
+    qry[5:12] = [comp[c] for c in qry[5:12]][::-1]
+    qry[25:33] = [comp[c] for c in qry[25:33]][::-1]
+
+    one = engine_cost(cfg, ref, qry, max_template_switches=1)
+    two = engine_cost(cfg, ref, qry, max_template_switches=2)
+    free = engine_cost(cfg, ref, qry)
+    assert two < one
+    assert free == two
+    assert oracle_cost(cfg, ref, qry) == free
+
+
+def test_engine_empty_sequences():
+    al = get_alphabet("dna")
+    cfg = TemplateSwitchConfig.default(al)
+    assert engine_cost(cfg, np.array([], np.int8), np.array([], np.int8)) == 0
+    ref = np.array([0, 1, 2], np.int8)
+    c = engine_cost(cfg, ref, np.array([], np.int8))
+    assert c == oracle_cost(cfg, ref, np.array([], np.int8))

@@ -1,0 +1,206 @@
+"""Dense template-switch alignment engine (numpy reference implementation).
+
+Replaces the reference's best-first search (generic_a_star + lib_tsalign
+template_switch_distance) with an iterated dense DP:
+
+  round 0:  flank-layered gap-affine primary sweep from the root
+  round k:  extract the flank-L entry field from round k-1, run the dense
+            TSM module sweeps (ops/tsm_modules.py) to produce a reentry
+            field, and re-sweep the primary layers with the reentry seeds.
+
+Round k covers all alignments with at most k template switches (exactly k
+when a maximum TS count stratifies the rounds); costs are monotone
+non-increasing across rounds and integer-valued, so iterating to a fixpoint
+is exact.  This is the wavefront formulation the JAX/Pallas device engine
+implements; this numpy version is its executable spec, validated against the
+Dijkstra oracle (oracle.py).
+
+Semantics preserved from the reference:
+  * flank-climb edges are gated on "can start another template switch"
+    (context.rs:225-331), so with a finite max TS count the rounds are
+    stratified by exact count;
+  * the target accepts any flank/gap state at the range limits
+    (context.rs:731-748);
+  * under the default NoPrune range strategy only the root and target use
+    the range; primary steps roam the full sequences (primary_range.rs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from .config import TemplateSwitchConfig
+from .costs import INF
+from .geometry import AlignmentRange
+from .ops.primary_sweep import GAP_NONE, PrimarySweep
+from .ops.tsm_modules import compute_reentry_fields
+
+_DK = ("Forward", "Reverse")
+
+
+@dataclass
+class EngineResult:
+    cost: int
+    rounds: int
+    # Per-round primary fields (F, 3, n_r+1, n_q+1) and reentry seed fields
+    # (n_r+1, n_q+1); kept for traceback.
+    primary_fields: List[np.ndarray] = field(default_factory=list)
+    reentry_fields: List[np.ndarray] = field(default_factory=list)
+
+
+class DenseAligner:
+    """Dense counterpart of the oracle's template-switch Dijkstra."""
+
+    def __init__(
+        self,
+        config: TemplateSwitchConfig,
+        reference: np.ndarray,
+        query: np.ndarray,
+        range_: Optional[AlignmentRange] = None,
+        max_template_switches: Optional[int] = None,
+        prune_range: bool = False,
+        allow_secondary_deletions: bool = True,
+        max_rounds: int = 32,
+    ):
+        self.config = config
+        self.ref = np.asarray(reference)
+        self.qry = np.asarray(query)
+        n_r, n_q = len(self.ref), len(self.qry)
+        self.range = range_ or AlignmentRange.complete(n_r, n_q)
+        self.max_ts = max_template_switches
+        self.prune_range = prune_range
+        self.allow_sdel = allow_secondary_deletions
+        self.max_rounds = max_rounds
+
+        if prune_range:
+            sweep_range = self.range
+            self.anti_bounds_ref = (self.range.reference_offset, self.range.reference_limit)
+            self.anti_bounds_qry = (self.range.query_offset, self.range.query_limit)
+        else:
+            sweep_range = AlignmentRange.complete(n_r, n_q)
+            self.anti_bounds_ref = (0, n_r)
+            self.anti_bounds_qry = (0, n_q)
+        self._sweep_range = sweep_range
+
+    def _sweep(self, seeds: np.ndarray, climb: bool) -> np.ndarray:
+        sweep = PrimarySweep(
+            self.config,
+            self.ref,
+            self.qry,
+            range_=self._sweep_range,
+            allow_flank_climb=climb,
+        )
+        return sweep.sweep(seeds)
+
+    def _root_seeds(self) -> np.ndarray:
+        cfg = self.config
+        F = cfg.left_flank_length + cfg.right_flank_length + 1
+        seeds = np.full((F, 3, len(self.ref) + 1, len(self.qry) + 1), INF, dtype=np.int64)
+        seeds[
+            cfg.right_flank_length,  # layer_index(flank 0)
+            GAP_NONE,
+            self.range.reference_offset,
+            self.range.query_offset,
+        ] = 0
+        return seeds
+
+    def _target_cost(self, M: np.ndarray) -> int:
+        return int(M[:, :, self.range.reference_limit, self.range.query_limit].min())
+
+    def _entry_field(self, M: np.ndarray) -> np.ndarray:
+        """Flank-L layer, min over gap types (TS entrances gate on flank == L,
+        context.rs:357-374)."""
+        return M[-1].min(axis=0)
+
+    def _sdel_budget(self, upper_bound: int) -> Optional[int]:
+        if upper_bound >= INF:
+            return None
+        cfg = self.config
+        steps = []
+        for d in _DK:
+            t = cfg.secondary_edit_costs(d)
+            steps.append(min(t.min_gap_open_cost(), t.min_gap_extend_cost()))
+        min_step = min(steps)
+        if min_step <= 0:
+            return None
+        return upper_bound // min_step
+
+    def _reentry(self, M: np.ndarray, budget: Optional[int]) -> np.ndarray:
+        return compute_reentry_fields(
+            self.config,
+            self.ref,
+            self.qry,
+            self._entry_field(M),
+            self.anti_bounds_ref,
+            self.anti_bounds_qry,
+            sdel_budget=budget,
+            allow_secondary_deletions=self.allow_sdel,
+        )
+
+    def align(self) -> EngineResult:
+        cfg = self.config
+        F = cfg.left_flank_length + cfg.right_flank_length + 1
+        root = self._root_seeds()
+        t = self.max_ts
+
+        if t is not None:
+            # Stratified by exact TS count: V_c uses entries from V_{c-1};
+            # flank climbs allowed only while another TS can start (c < t).
+            results = EngineResult(cost=INF, rounds=0)
+            M = self._sweep(root, climb=(0 < t))
+            results.primary_fields.append(M)
+            best = self._target_cost(M)
+            budget = self._sdel_budget(best)
+            for c in range(1, t + 1):
+                R = self._reentry(M, budget)
+                results.reentry_fields.append(R)
+                seeds = np.full_like(root, INF)
+                seeds[0, GAP_NONE] = R  # layer_index(-right_flank_length) = 0
+                seeds = np.minimum(seeds, root)
+                M = self._sweep(seeds, climb=(c < t))
+                results.primary_fields.append(M)
+                best = min(best, self._target_cost(M))
+            results.cost = best
+            results.rounds = t + 1
+            return results
+
+        # Unlimited TS count: accumulate reentry seeds to a fixpoint.
+        results = EngineResult(cost=INF, rounds=0)
+        M = self._sweep(root, climb=True)
+        results.primary_fields.append(M)
+        best = self._target_cost(M)
+        budget = self._sdel_budget(best)
+        for k in range(1, self.max_rounds + 1):
+            R = self._reentry(M, budget)
+            results.reentry_fields.append(R)
+            seeds = np.minimum(root, _as_seeds(R, F))
+            M_next = self._sweep(seeds, climb=True)
+            results.primary_fields.append(M_next)
+            best = min(best, self._target_cost(M_next))
+            if np.array_equal(M_next, M):
+                results.cost = best
+                results.rounds = k + 1
+                return results
+            M = M_next
+        results.cost = best
+        results.rounds = self.max_rounds + 1
+        return results
+
+
+def _as_seeds(R: np.ndarray, F: int) -> np.ndarray:
+    seeds = np.full((F, 3) + R.shape, INF, dtype=np.int64)
+    seeds[0, GAP_NONE] = R
+    return seeds
+
+
+def align_cost(
+    config: TemplateSwitchConfig,
+    reference: np.ndarray,
+    query: np.ndarray,
+    **kwargs,
+) -> int:
+    """Convenience: optimal template-switch alignment cost."""
+    return DenseAligner(config, reference, query, **kwargs).align().cost

@@ -4,7 +4,13 @@ import sys
 # Tests run on a virtual multi-device CPU mesh so sharding logic is exercised
 # without TPU hardware (the TPU-world analog of the reference's
 # no-cluster-needed testing, SURVEY.md §4).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+# Drop the axon TPU plugin from the import path: its init reaches for the
+# TPU tunnel even under JAX_PLATFORMS=cpu and can hang test runs.
+sys.path[:] = [p for p in sys.path if "axon_site" not in p]
+os.environ["PYTHONPATH"] = ":".join(
+    p for p in os.environ.get("PYTHONPATH", "").split(":") if "axon_site" not in p
+)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

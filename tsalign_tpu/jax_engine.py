@@ -1,0 +1,307 @@
+"""JAX/TPU dense template-switch alignment engine.
+
+Device counterpart of engine.py (the numpy executable spec): the same
+iterated structure — flank-layered primary sweeps (ops/jax_primary.py) and
+per-kind TSM module/assembly pipelines (ops/jax_modules.py) — jitted with
+static shapes in the int32 saturating (min,+) algebra.
+
+The rounds loop runs on the host (a handful of iterations); everything per
+round is device code.  Shapes depend only on (sequence lengths, config
+windows, deletion-drift budget bucket), so recompiles are bounded.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import TemplateSwitchConfig
+from .costs import INF
+from .geometry import AlignmentRange
+from .ops.jax_primary import JaxPrimarySweep
+from .ops.jax_modules import JaxKindModule
+from .ops.jaxcommon import (
+    DEV_INF,
+    from_device_costs,
+    to_device_costs,
+    validate_magnitudes,
+)
+from .ops.primary_sweep import GAP_NONE
+from .ops.tsm_modules import make_kind_spec
+
+
+@dataclass
+class JaxEngineResult:
+    cost: int
+    rounds: int
+    primary_fields: List[np.ndarray] = field(default_factory=list)
+    reentry_fields: List[np.ndarray] = field(default_factory=list)
+
+
+class JaxAligner:
+    """Drop-in device analog of engine.DenseAligner (cost computation)."""
+
+    def __init__(
+        self,
+        config: TemplateSwitchConfig,
+        reference: np.ndarray,
+        query: np.ndarray,
+        range_: Optional[AlignmentRange] = None,
+        max_template_switches: Optional[int] = None,
+        prune_range: bool = False,
+        allow_secondary_deletions: bool = True,
+        max_rounds: int = 32,
+        chunk: int = 64,
+        keep_fields: bool = True,
+    ):
+        self.config = config
+        self.ref = np.asarray(reference)
+        self.qry = np.asarray(query)
+        n_r, n_q = len(self.ref), len(self.qry)
+        self.n_r, self.n_q = n_r, n_q
+        self.range = range_ or AlignmentRange.complete(n_r, n_q)
+        self.max_ts = max_template_switches
+        self.prune_range = prune_range
+        self.allow_sdel = allow_secondary_deletions
+        self.max_rounds = max_rounds
+        self.chunk = chunk
+        self.keep_fields = keep_fields
+
+        self._validate()
+
+        if prune_range:
+            self._sweep_range = self.range
+            self.anti_bounds_ref = (self.range.reference_offset, self.range.reference_limit)
+            self.anti_bounds_qry = (self.range.query_offset, self.range.query_limit)
+        else:
+            self._sweep_range = AlignmentRange.complete(n_r, n_q)
+            self.anti_bounds_ref = (0, n_r)
+            self.anti_bounds_qry = (0, n_q)
+
+        self._sweeps = {}
+
+    def _validate(self) -> None:
+        cfg = self.config
+        mx = 0
+        for t in (
+            cfg.primary_edit_costs,
+            cfg.secondary_forward_edit_costs,
+            cfg.secondary_reverse_edit_costs,
+            cfg.left_flank_edit_costs,
+            cfg.right_flank_edit_costs,
+        ):
+            for arr in (t.substitution, t.gap_open, t.gap_extend):
+                finite = arr[arr < INF]
+                if finite.size:
+                    mx = max(mx, int(finite.max()))
+        for fn in (
+            cfg.rq_qr_offset_costs,
+            cfg.rr_qq_offset_costs,
+            cfg.length_costs,
+            cfg.length_difference_costs,
+            cfg.forward_anti_primary_gap_costs,
+            cfg.reverse_anti_primary_gap_costs,
+        ):
+            finite = [c for _, c in fn.points if c < INF]
+            if finite:
+                mx = max(mx, max(finite))
+        mx = max(mx, max(v for v in cfg.base_cost.values() if v < INF) if any(
+            v < INF for v in cfg.base_cost.values()
+        ) else 0)
+        validate_magnitudes(mx, 2 * (self.n_r + self.n_q + 2))
+
+    def _get_sweep(self, climb: bool) -> JaxPrimarySweep:
+        if climb not in self._sweeps:
+            self._sweeps[climb] = JaxPrimarySweep(
+                self.config,
+                self.ref,
+                self.qry,
+                range_=self._sweep_range,
+                allow_flank_climb=climb,
+            )
+        return self._sweeps[climb]
+
+    def _root_seeds(self) -> jnp.ndarray:
+        cfg = self.config
+        F = cfg.left_flank_length + cfg.right_flank_length + 1
+        seeds = np.full((F, 3, self.n_r + 1, self.n_q + 1), INF, dtype=np.int64)
+        seeds[
+            cfg.right_flank_length,
+            GAP_NONE,
+            self.range.reference_offset,
+            self.range.query_offset,
+        ] = 0
+        return jnp.asarray(to_device_costs(seeds))
+
+    def _target_cost(self, M) -> int:
+        v = int(M[:, :, self.range.reference_limit, self.range.query_limit].min())
+        return INF if v >= int(DEV_INF) // 2 else v
+
+    def _sdel_budget(self, upper_bound: int) -> Optional[int]:
+        if upper_bound >= INF:
+            return None
+        cfg = self.config
+        steps = []
+        for d in ("Forward", "Reverse"):
+            t = cfg.secondary_edit_costs(d)
+            steps.append(min(t.min_gap_open_cost(), t.min_gap_extend_cost()))
+        min_step = min(steps)
+        if min_step <= 0:
+            return None
+        budget = upper_bound // min_step
+        # Bucket to limit recompiles across inputs.
+        b = 8
+        while b < budget:
+            b *= 2
+        return b
+
+    def _build_kinds(self, budget: Optional[int]) -> List[JaxKindModule]:
+        kinds = []
+        for pk in (0, 1):
+            anti_lo, anti_hi = (
+                self.anti_bounds_qry if pk == 0 else self.anti_bounds_ref
+            )
+            for sk in (0, 1):
+                for dk in (0, 1):
+                    spec = make_kind_spec(
+                        self.config, self.n_r, self.n_q, pk, sk, dk, sdel_budget=budget
+                    )
+                    if spec is None:
+                        continue
+                    km = JaxKindModule(
+                        spec,
+                        self.config,
+                        self.ref,
+                        self.qry,
+                        anti_lo,
+                        anti_hi,
+                        chunk=self.chunk,
+                        allow_secondary_deletions=self.allow_sdel,
+                    )
+                    if km.active:
+                        kinds.append(km)
+        return kinds
+
+    def _reentry(self, M, kinds: List[JaxKindModule]):
+        """Entry field extraction + all kind pipelines -> reentry cells."""
+        A_cells = jnp.min(M[-1], axis=0)  # (n_r+1, n_q+1)
+        R_cells = jnp.full((self.n_r + 1, self.n_q + 1), DEV_INF, jnp.int32)
+        for km in kinds:
+            spec = km.spec
+            A_mod = A_cells if spec.pk == 0 else A_cells.T
+            n_anti = spec.n_anti
+            C = km.chunk
+            Rk = jnp.full((spec.n_p + 1, n_anti + 1), DEV_INF, jnp.int32)
+            n_e = n_anti + 1
+            seed = jnp.asarray(km.seed)
+            lut = jnp.asarray(km.sub_lut)
+            sdo = jnp.asarray(km.sdel_open)
+            sde = jnp.asarray(km.sdel_ext)
+            for e0 in range(0, n_e, C):
+                hi = min(e0 + C, n_e)
+                pad = C - (hi - e0)
+                A_chunk = jax.lax.dynamic_slice(
+                    A_mod, (0, min(e0, n_e - C) if n_e >= C else 0), (spec.n_p + 1, min(C, n_e))
+                )
+                if n_e < C:
+                    A_chunk = jnp.pad(
+                        A_chunk, ((0, 0), (0, C - n_e)), constant_values=DEV_INF
+                    )
+                    e_base = 0
+                else:
+                    e_base = min(e0, n_e - C)
+                if spec.same_seq:
+                    sc = lc = dc = ec = jnp.zeros((), jnp.int32)
+                    sc = seed[:1]  # unused dummies with fixed shapes
+                    lc = lut[:, :1]
+                    dc = sdo[:1]
+                    ec = sde[:1]
+                else:
+                    sc = jax.lax.dynamic_slice(seed, (e_base, 0), (min(C, n_e), km.W))
+                    lc = jax.lax.dynamic_slice(
+                        lut, (0, e_base, 0), (lut.shape[0], min(C, n_e), km.W)
+                    )
+                    dc = jax.lax.dynamic_slice(sdo, (e_base, 0), (min(C, n_e), km.W))
+                    ec = jax.lax.dynamic_slice(sde, (e_base, 0), (min(C, n_e), km.W))
+                    if n_e < C:
+                        sc = jnp.pad(sc, ((0, C - n_e), (0, 0)), constant_values=DEV_INF)
+                        lc = jnp.pad(
+                            lc, ((0, 0), (0, C - n_e), (0, 0)), constant_values=DEV_INF
+                        )
+                        dc = jnp.pad(dc, ((0, C - n_e), (0, 0)), constant_values=DEV_INF)
+                        ec = jnp.pad(ec, ((0, C - n_e), (0, 0)), constant_values=DEV_INF)
+                R_pad = km.run(A_chunk, sc, lc, dc, ec)
+                # fold columns j2 = e_base + s_lo + col  into Rk
+                c_lo = e_base + km.s_lo
+                c_hi = e_base + C - 1 + km.s_hi  # inclusive
+                g0 = max(c_lo, 0)
+                g1 = min(c_hi, n_anti - 1)  # strict reentry bound j2 < n_anti
+                if g0 > g1:
+                    continue
+                sl = R_pad[:, g0 - c_lo : g1 - c_lo + 1]
+                Rk = Rk.at[:, g0 : g1 + 1].min(sl)
+            if spec.pk == 1:
+                Rk = Rk.T
+            R_cells = jnp.minimum(R_cells, Rk)
+        return R_cells
+
+    def _as_seeds(self, R_cells) -> jnp.ndarray:
+        cfg = self.config
+        F = cfg.left_flank_length + cfg.right_flank_length + 1
+        seeds = jnp.full(
+            (F, 3, self.n_r + 1, self.n_q + 1), DEV_INF, jnp.int32
+        )
+        return seeds.at[0, GAP_NONE].set(R_cells)
+
+    def align(self) -> JaxEngineResult:
+        root = self._root_seeds()
+        t = self.max_ts
+        res = JaxEngineResult(cost=INF, rounds=0)
+
+        def keep(M):
+            if self.keep_fields:
+                res.primary_fields.append(from_device_costs(np.asarray(M)))
+
+        def keepR(R):
+            if self.keep_fields:
+                res.reentry_fields.append(from_device_costs(np.asarray(R)))
+
+        if t is not None:
+            M = self._get_sweep(0 < t).sweep(root)
+            keep(M)
+            best = self._target_cost(M)
+            if t == 0:
+                res.cost, res.rounds = best, 1
+                return res
+            kinds = self._build_kinds(self._sdel_budget(best))
+            for c in range(1, t + 1):
+                R = self._reentry(M, kinds)
+                keepR(R)
+                seeds = jnp.minimum(root, self._as_seeds(R))
+                M = self._get_sweep(c < t).sweep(seeds)
+                keep(M)
+                best = min(best, self._target_cost(M))
+            res.cost, res.rounds = best, t + 1
+            return res
+
+        M = self._get_sweep(True).sweep(root)
+        keep(M)
+        best = self._target_cost(M)
+        kinds = self._build_kinds(self._sdel_budget(best))
+        for k in range(1, self.max_rounds + 1):
+            R = self._reentry(M, kinds)
+            keepR(R)
+            seeds = jnp.minimum(root, self._as_seeds(R))
+            M_next = self._get_sweep(True).sweep(seeds)
+            keep(M_next)
+            best = min(best, self._target_cost(M_next))
+            if bool(jnp.array_equal(M_next, M)):
+                res.cost, res.rounds = best, k + 1
+                return res
+            M = M_next
+        res.cost, res.rounds = best, self.max_rounds + 1
+        return res

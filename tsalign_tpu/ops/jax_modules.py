@@ -1,0 +1,448 @@
+"""JAX TSM module sweeps + reentry assembly (int32, jitted, chunked).
+
+Device counterpart of ops/tsm_modules.py.  Per kind (pk, sk, dk):
+
+  1. module scan over the secondary length l with carry T[g, batch..., r]
+     (lax.scan; secondary-deletion chains via the associative (min,+) scan),
+     emitting per-level exit minima B;
+  2. reentry assembly: with s = anti_primary_gap, the exit price is
+     length(l) + ldiff(s - l) + anti(s) and the anti-gap walk feasibility
+     constraint `p2 + ldiff in [Al, Ah]` (context.rs:662-707) simplifies to
+     `p1 + s in [Al, Ah]` (p2 + ldiff = p1 + l + s - l).  The min over l for
+     each (p2, s) is a sliding-window minimum over the sheared table
+     D3s[p2, e, l] = D3[p2-l, e, l] + length(l), decomposed over the finite
+     segments of the piecewise-constant ldiff function.  The feasibility
+     constraint clips the window only in a static boundary band of rows
+     (|band| <= segment width), handled exactly with per-row-width window
+     minima from a power-of-two sparse table.  A final scan over s
+     accumulates R[p2, j2 = e_anti + s] with the strict reentry bound
+     0 <= j2 < n_anti (template_switch_distance.rs:600-618).
+
+Everything per scan step is elementwise + scalar-indexed dynamic slices —
+no data-dependent gathers — so the whole pipeline compiles to dense TPU
+vector code.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TemplateSwitchConfig
+from ..costs import INF, CostFunction
+from .jaxcommon import (
+    DEV_INF,
+    build_sparse_table,
+    minplus_scan,
+    sat_add,
+    sliding_min_start,
+    to_device_costs,
+)
+from .primary_sweep import GAP_DEL, GAP_INS, GAP_NONE
+from .tsm_modules import KindSpec, _dense_or_inf, make_kind_spec
+
+_DK = ("Forward", "Reverse")
+_PK = ("Reference", "Query")
+
+
+def _finite_segments(fn: CostFunction, lo: int, hi: int) -> List[Tuple[int, int, int]]:
+    """Maximal constant finite segments [(a, b, cost)] of fn over [lo, hi],
+    split so that no segment contains 0 (ldiff = 0 is priced separately)."""
+    segs = []
+    cur = None
+    for x in range(lo, hi + 1):
+        c = fn.evaluate(x) if x >= fn.points[0][0] else INF
+        if c >= INF:
+            if cur:
+                segs.append(tuple(cur))
+                cur = None
+            continue
+        if cur and cur[2] == c:
+            cur[1] = x
+        else:
+            if cur:
+                segs.append(tuple(cur))
+            cur = [x, x, c]
+    if cur:
+        segs.append(tuple(cur))
+    out = []
+    for a, b, c in segs:
+        if a <= 0 <= b:
+            if a <= -1:
+                out.append((a, -1, c))
+            if b >= 1:
+                out.append((1, b, c))
+        else:
+            out.append((a, b, c))
+    return out
+
+
+@dataclass
+class _SegPlan:
+    a: int
+    b: int
+    cost: int
+    positive: bool
+    # static row partition (inclusive python ints, possibly empty ranges)
+    full_rows_end: int  # main sliding-window value valid for rows [0..end] (pos) / [start..n_p] (neg)
+    band_rows: Tuple[int, int]  # inclusive row range needing clipped windows
+    kill_from: int  # rows with no feasible ldiff in this segment
+
+
+class JaxKindModule:
+    """One TSM kind's device pipeline: chunk of e_anti -> reentry slab."""
+
+    def __init__(
+        self,
+        spec: KindSpec,
+        config: TemplateSwitchConfig,
+        reference: np.ndarray,
+        query: np.ndarray,
+        anti_lo: int,
+        anti_hi: int,
+        chunk: int = 64,
+        allow_secondary_deletions: bool = True,
+    ):
+        self.spec = spec
+        self.chunk = min(chunk, spec.n_anti + 1)
+        self.allow_sdel = allow_secondary_deletions
+        self.anti_lo, self.anti_hi = anti_lo, anti_hi
+
+        ref = np.asarray(reference, dtype=np.int64)
+        qry = np.asarray(query, dtype=np.int64)
+        self.P = ref if spec.pk == 0 else qry
+        sec = ref if spec.sk == 0 else qry
+        comp = config.alphabet.complement_array().astype(np.int64)
+        table = config.secondary_edit_costs(_DK[spec.dk])
+        A = config.alphabet.size
+
+        n_s, r_lo, r_hi = spec.n_s, spec.r_lo, spec.r_hi
+        W = r_hi - r_lo + 1
+        self.W = W
+        b = np.arange(n_s + 1)[:, None]
+        r = np.arange(r_lo, r_hi + 1)[None, :]
+        if spec.dk == 0:
+            cidx = b + r
+        else:
+            cidx = b + r - 1
+        valid = (cidx >= 0) & (cidx < n_s)
+        raw = sec[np.clip(cidx, 0, max(n_s - 1, 0))] if n_s else np.zeros_like(cidx)
+        schar = np.where(valid, comp[raw] if spec.dk == 1 else raw, 0)
+
+        # (A, n_s+1, W) substitution LUT vs the secondary char at each (b, r).
+        sub_lut = np.where(valid[None], table.substitution[:, schar], INF)
+        self.sub_lut = to_device_costs(sub_lut)
+        self.sdel_open = to_device_costs(np.where(valid, table.gap_open[schar], INF))
+        self.sdel_ext = to_device_costs(np.where(valid, table.gap_extend[schar], INF))
+        self.pgap_open = to_device_costs(table.gap_open)
+        self.pgap_ext = to_device_costs(table.gap_extend)
+        self.seed = to_device_costs(spec.seed)
+
+        n_p, L = spec.n_p, spec.l_max
+        # Per-level primary chars and validity (levels consume P[p1 + l]).
+        if spec.same_seq:
+            pb = np.arange(n_s + 1)
+        else:
+            pb = np.arange(n_p + 1)
+        lvl = np.arange(L)[:, None]
+        pidx = pb[None, :] + lvl
+        pvalid = pidx < n_p
+        self.pchar_l = np.where(pvalid, self.P[np.clip(pidx, 0, max(n_p - 1, 0))], 0).astype(
+            np.int32
+        )
+        self.pmask_l = to_device_costs(np.where(pvalid, 0, INF))
+
+        # --- assembly statics ---
+        cfg = config
+        self.length_vec = to_device_costs(
+            _dense_or_inf(cfg.length_costs, 0, L)
+            if L >= cfg.length_costs.points[0][0]
+            else np.full(L + 1, INF, dtype=np.int64)
+        )
+        # mask lengths below min_len (dense eval already INF there by defn of
+        # min_len, but be explicit for safety)
+        lv = np.asarray(self.length_vec)
+        lv[: spec.min_len] = DEV_INF
+        self.length_vec = jnp.asarray(lv)
+
+        ldiff_fn = cfg.length_difference_costs
+        dw = ldiff_fn.finite_window()
+        d_lo = max(int(dw[0]), -(spec.n_anti + L + 1))
+        d_hi = min(int(dw[1]), spec.n_anti + L + 1)
+        self.ldiff0 = np.int32(min(ldiff_fn.evaluate(0), int(DEV_INF)))
+        segs = _finite_segments(ldiff_fn, d_lo, d_hi)
+
+        anti_fn = cfg.anti_primary_gap_costs(_DK[spec.dk])
+        s_lo = spec.min_len + min([a for a, _, _ in segs] + [0])
+        s_hi = L + max([b for _, b, _ in segs] + [0])
+        s_lo = max(s_lo, -spec.n_anti)
+        s_hi = min(s_hi, spec.n_anti - 1)  # j2 = e + s <= n_anti-1, e >= 0
+        aw = anti_fn.finite_window()
+        if aw is not None:
+            s_lo = max(s_lo, int(aw[0]))
+            s_hi = min(s_hi, int(aw[1]))
+        self.active = aw is not None and s_lo <= s_hi
+        if not self.active:
+            return
+        self.s_lo, self.s_hi = s_lo, s_hi
+        S = s_hi - s_lo + 1
+        self.S = S
+        self.anti_vec = to_device_costs(_dense_or_inf(anti_fn, s_lo, s_hi))
+
+        # l'-axis padding so every window index is in range:
+        # t = s - seg.b (start-anchored) and t_end = s - seg.a.
+        t_min = min([s_lo - sg[1] for sg in segs] + [s_lo, 0])
+        t_max = max([s_hi - sg[0] for sg in segs] + [s_hi, L])
+        self.OFF = -t_min
+        self.LL = t_max - t_min + 1
+        Al, Ah = anti_lo, anti_hi
+
+        plans: List[_SegPlan] = []
+        for a, b2, c in segs:
+            if a >= 1:
+                # feasible iff p1 + s <= Ah <=> p2 <= Ah - ldiff; strictest
+                # at ldiff = b2 for full windows.
+                plans.append(
+                    _SegPlan(
+                        a=a,
+                        b=b2,
+                        cost=c,
+                        positive=True,
+                        full_rows_end=Ah - b2,
+                        band_rows=(max(0, Ah - b2 + 1), min(n_p, Ah - a)),
+                        kill_from=Ah - a + 1,
+                    )
+                )
+            else:
+                plans.append(
+                    _SegPlan(
+                        a=a,
+                        b=b2,
+                        cost=c,
+                        positive=False,
+                        full_rows_end=Al - a,  # full for rows >= this
+                        band_rows=(max(0, Al - b2), min(n_p, Al - a - 1)),
+                        kill_from=Al - b2,  # rows < this are killed
+                    )
+                )
+        self.plans = plans
+
+        self._jit = jax.jit(partial(_kind_impl, self))
+
+    def run(self, A_chunk: jnp.ndarray, seed_chunk, lut_chunk, do_chunk, de_chunk):
+        """A_chunk: (n_p+1, C) entry costs for this e-slab (same_seq: full
+        A rows x e-slab).  Returns R_pad (n_p+1, C + S - 1) for columns
+        j2 = e0 + s_lo ... e0 + C - 1 + s_hi."""
+        return self._jit(A_chunk, seed_chunk, lut_chunk, do_chunk, de_chunk)
+
+
+def _kind_impl(m: JaxKindModule, A_chunk, seed_chunk, lut_chunk, do_chunk, de_chunk):
+    spec = m.spec
+    L = spec.l_max
+    n_p = spec.n_p
+    C = A_chunk.shape[1]
+    W = m.W
+
+    # ---- module scan -----------------------------------------------------
+    if spec.same_seq:
+        # batch = p1 (n_s + 1 == n_p + 1); A is added in the assembly.
+        n_b = spec.n_s + 1
+        T0 = jnp.full((3, n_b, W), DEV_INF, jnp.int32)
+        T0 = T0.at[GAP_NONE].set(jnp.asarray(m.seed))
+        lut = jnp.asarray(m.sub_lut)
+        sdo, sde = jnp.asarray(m.sdel_open), jnp.asarray(m.sdel_ext)
+    else:
+        # batch = (p1, e); entry field folded into seeds.
+        n_b = n_p + 1
+        T0 = jnp.full((3, n_b, C, W), DEV_INF, jnp.int32)
+        T0 = T0.at[GAP_NONE].set(sat_add(A_chunk[:, :, None], seed_chunk[None, :, :]))
+        lut = lut_chunk  # (A, C, W)
+        sdo, sde = do_chunk, de_chunk  # (C, W)
+
+    fwd = spec.dk == 0
+
+    def close(T):
+        if not m.allow_sdel:
+            return T
+        open_src = jnp.minimum(T[GAP_NONE], T[GAP_INS])
+        pad_shape = T.shape[1:-1] + (1,)
+        pad = jnp.full(pad_shape, DEV_INF, T.dtype)
+        if fwd:
+            cand = jnp.concatenate([pad, sat_add(open_src, sdo)[..., :-1]], axis=-1)
+            ext = jnp.concatenate([pad, jnp.broadcast_to(sde, open_src.shape)[..., :-1]], axis=-1)
+            cand = jnp.minimum(cand, T[GAP_DEL])
+            d = minplus_scan(cand, ext, axis=-1)
+        else:
+            cand = jnp.concatenate([sat_add(open_src, sdo)[..., 1:], pad], axis=-1)
+            ext = jnp.concatenate([jnp.broadcast_to(sde, open_src.shape)[..., 1:], pad], axis=-1)
+            cand = jnp.minimum(cand, T[GAP_DEL])
+            d = minplus_scan(cand, ext, axis=-1, reverse=True)
+        return T.at[GAP_DEL].set(d)
+
+    pchar_l = jnp.asarray(m.pchar_l)  # (L, n_b)
+    pmask_l = jnp.asarray(m.pmask_l)
+    pgo, pge = jnp.asarray(m.pgap_open), jnp.asarray(m.pgap_ext)
+
+    def step(T, x):
+        pchar, pmask = x
+        T = close(T)
+        emit = jnp.min(jnp.min(T, axis=0), axis=-1)  # (n_b[, C])
+        # transitions to the next level
+        src_any = jnp.min(T, axis=0)
+        if spec.same_seq:
+            sub = jnp.take_along_axis(lut, pchar[None, :, None], axis=0)[0]
+            sub = sat_add(sub, pmask[:, None])
+        else:
+            sub = lut[pchar]  # (n_b, C, W)
+            sub = sat_add(sub, pmask[:, None, None])
+        diag = sat_add(src_any, sub)
+        pad_shape = diag.shape[:-1] + (1,)
+        pad = jnp.full(pad_shape, DEV_INF, diag.dtype)
+        if fwd:
+            none_new = jnp.concatenate([pad, diag[..., :-1]], axis=-1)
+        else:
+            none_new = jnp.concatenate([diag[..., 1:], pad], axis=-1)
+        io = sat_add(pgo[pchar], pmask)
+        ie = sat_add(pge[pchar], pmask)
+        ex = (slice(None),) + (None,) * (T.ndim - 2)
+        ins_new = jnp.minimum(
+            sat_add(jnp.minimum(T[GAP_NONE], T[GAP_DEL]), io[ex]),
+            sat_add(T[GAP_INS], ie[ex]),
+        )
+        T_next = (
+            jnp.full_like(T, DEV_INF).at[GAP_NONE].set(none_new).at[GAP_INS].set(ins_new)
+        )
+        return T_next, emit
+
+    T_last, B = jax.lax.scan(step, T0, (pchar_l, pmask_l))
+    T_last = close(T_last)
+    B_last = jnp.min(jnp.min(T_last, axis=0), axis=-1)
+    B = jnp.concatenate([B, B_last[None]], axis=0)  # (L+1, n_b[, C])
+
+    # ---- assembly --------------------------------------------------------
+    # D3pl[p1, e, l] = entry + module + length(l)
+    if spec.same_seq:
+        D3 = sat_add(A_chunk[:, :, None], jnp.moveaxis(B, 0, -1)[:, None, :])
+    else:
+        D3 = jnp.moveaxis(B, 0, -1)  # (n_p+1, C, L+1)
+    D3 = sat_add(D3, jnp.asarray(m.length_vec)[None, None, :])
+
+    # shear: D3s[p2, e, l] = D3[p2 - l, e, l]
+    p2 = jnp.arange(n_p + 1)[:, None, None]
+    lax_l = jnp.arange(L + 1)[None, None, :]
+    p1_idx = p2 - lax_l
+    D3s = jnp.take_along_axis(
+        D3, jnp.clip(p1_idx, 0, n_p), axis=0
+    )
+    D3s = jnp.where(p1_idx >= 0, D3s, DEV_INF)
+
+    OFF, LL = m.OFF, m.LL
+    D3pad = jnp.full((n_p + 1, C, LL), DEV_INF, jnp.int32)
+    D3pad = jax.lax.dynamic_update_slice(D3pad, D3s, (0, 0, OFF))
+
+    # per-segment main sliding mins + band corrections
+    seg_arrays = []
+    for plan in m.plans:
+        w = plan.b - plan.a + 1
+        sw = sliding_min_start(D3pad, w, axis=-1)
+        band = _band_correction(m, plan, D3pad, n_p, C)
+        seg_arrays.append((plan, sw, band))
+
+    anti_vec = jnp.asarray(m.anti_vec)
+    S = m.S
+    R0 = jnp.full((n_p + 1, C + S - 1), DEV_INF, jnp.int32)
+    row_idx = jnp.arange(n_p + 1)
+
+    def s_body(R, s_idx):
+        s = m.s_lo + s_idx
+        u = jnp.full((n_p + 1, C), DEV_INF, jnp.int32)
+        for plan, sw, band in seg_arrays:
+            t = OFF + s - plan.b  # start-anchored window index
+            val = jax.lax.dynamic_slice(sw, (0, 0, t), (n_p + 1, C, 1))[..., 0]
+            if band is not None:
+                b0, b1, bq = band
+                t_end = OFF + s - plan.a
+                bval = jax.lax.dynamic_slice(
+                    bq, (0, 0, t_end), (b1 - b0 + 1, C, 1)
+                )[..., 0]
+                val = jax.lax.dynamic_update_slice(val, bval, (b0, 0))
+            if plan.positive:
+                val = jnp.where(row_idx[:, None] > plan.kill_from - 1, DEV_INF, val)
+            else:
+                val = jnp.where(row_idx[:, None] < plan.kill_from, DEV_INF, val)
+            u = jnp.minimum(u, sat_add(val, np.int32(min(plan.cost, int(DEV_INF)))))
+        # ldiff = 0 exact term (always walk-feasible)
+        v0 = jax.lax.dynamic_slice(D3pad, (0, 0, OFF + s), (n_p + 1, C, 1))[..., 0]
+        u = jnp.minimum(u, sat_add(v0, m.ldiff0))
+        u = sat_add(u, anti_vec[s_idx])
+        cur = jax.lax.dynamic_slice(R, (0, s_idx), (n_p + 1, C))
+        R = jax.lax.dynamic_update_slice(R, jnp.minimum(cur, u), (0, s_idx))
+        return R, None
+
+    R_pad, _ = jax.lax.scan(s_body, R0, jnp.arange(S))
+    return R_pad
+
+
+def _band_correction(m: JaxKindModule, plan: _SegPlan, D3pad, n_p: int, C: int):
+    """Per-row-width window minima for the feasibility boundary band.
+
+    Positive segments: window ends at t_end = s - a with static per-row width
+    w_row = Ah - a - p2 + 1.  Negative segments: window starts at s - b with
+    width w_row = p2 + b - Al + 1; we convert to end-anchored form
+    (end = start + w_seg - 1 is NOT per-row; instead query start-anchored at
+    index t_end - (w_seg - 1) ... ) — both cases are expressed end-anchored
+    at t_end = s - a for positive, start-anchored at t = s - b for negative,
+    which the caller indexes with the matching anchor; here we return arrays
+    indexed by the POSITIVE anchor t_end for positive plans and rebuild
+    negative plans to also be indexed by t_end = s - a via their fixed
+    start. For negative plans the start t = s - b is used directly: we store
+    start-anchored values shifted so indexing by t_end = s - a lands on the
+    right entry is unnecessary — the caller uses t_end for positive and we
+    pre-shift negative arrays by (b - a) so one anchor works for both.
+    """
+    b0, b1 = plan.band_rows
+    if b0 > b1:
+        return None
+    rows = np.arange(b0, b1 + 1)
+    if plan.positive:
+        widths = m.anti_hi - plan.a - rows + 1
+    else:
+        widths = rows + plan.b - m.anti_lo + 1
+    widths = np.clip(widths, 1, plan.b - plan.a + 1)
+    slab = jax.lax.dynamic_slice(
+        D3pad, (b0, 0, 0), (b1 - b0 + 1, C, D3pad.shape[-1])
+    )
+    tables = build_sparse_table(slab, int(widths.max()))
+    ks = np.floor(np.log2(widths)).astype(np.int32)
+    # window [t0, t0 + w): min(m_k[t0], m_k[t0 + w - 2^k])
+    M = jnp.stack(tables)  # (K, band, C, LL)
+    Msel = M[ks, np.arange(len(rows))]  # (band, C, LL)
+    LLax = D3pad.shape[-1]
+    t = np.arange(LLax)
+    if plan.positive:
+        # end-anchored at t_end: window [t_end - w + 1, t_end]
+        i1 = t[None, :] - widths[:, None] + 1
+        i2 = t[None, :] - (1 << ks)[:, None] + 1
+    else:
+        # start-anchored at t(= s - b): window [t, t + w)
+        i1 = np.broadcast_to(t[None, :], (len(rows), LLax)).copy()
+        i2 = t[None, :] + widths[:, None] - (1 << ks)[:, None]
+    ok = (i1 >= 0) & (i2 >= 0) & (i2 < LLax) & (i1 < LLax)
+    i1c = np.clip(i1, 0, LLax - 1)
+    i2c = np.clip(i2, 0, LLax - 1)
+    v1 = jnp.take_along_axis(Msel, jnp.asarray(i1c)[:, None, :], axis=-1)
+    v2 = jnp.take_along_axis(Msel, jnp.asarray(i2c)[:, None, :], axis=-1)
+    bq = jnp.where(jnp.asarray(ok)[:, None, :], jnp.minimum(v1, v2), DEV_INF)
+    if not plan.positive:
+        # caller indexes all bands at t_end = s - a; shift start-anchored
+        # values right by (b - a) so bq[t_end] == value at start s - b.
+        shift = plan.b - plan.a
+        pad = jnp.full((bq.shape[0], C, shift), DEV_INF, bq.dtype) if shift else None
+        if shift:
+            bq = jnp.concatenate([pad, bq[..., : LLax - shift]], axis=-1)
+    return (b0, b1, bq)

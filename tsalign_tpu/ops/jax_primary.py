@@ -1,0 +1,200 @@
+"""JAX primary sweep: flank-layered gap-affine wavefront DP (int32, jitted).
+
+Device counterpart of ops/primary_sweep.py (the executable numpy spec); one
+lax.scan step per reference row, layers unrolled bottom-up (-R .. L), the
+within-row insertion chain solved with the associative (min,+) scan.
+
+Semantics (context.rs:164-354): flank-0 steps use the primary table; climbing
+f -> f+1 uses the right-flank table for f < 0 (always allowed) and the left
+flank table for 0 <= f < L (gated on can_start_another_template_switch);
+gap open vs extend decided by the source gap type; sources gated to the
+primary range.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TemplateSwitchConfig
+from ..costs import INF
+from ..geometry import AlignmentRange
+from .jaxcommon import DEV_INF, minplus_scan, sat_add, to_device_costs
+from .primary_sweep import GAP_DEL, GAP_INS, GAP_NONE
+
+
+class JaxPrimarySweep:
+    """Precomputes device inputs for a (config, pair, range, climb) tuple and
+    exposes a jitted `sweep(seeds)` matching PrimarySweep.sweep."""
+
+    def __init__(
+        self,
+        config: TemplateSwitchConfig,
+        reference: np.ndarray,
+        query: np.ndarray,
+        range_: Optional[AlignmentRange] = None,
+        allow_flank_climb: bool = True,
+    ):
+        self.config = config
+        ref = np.asarray(reference, dtype=np.int64)
+        qry = np.asarray(query, dtype=np.int64)
+        n_r, n_q = len(ref), len(qry)
+        self.n_r, self.n_q = n_r, n_q
+        rng = range_ or AlignmentRange.complete(n_r, n_q)
+        self.L = config.left_flank_length
+        self.R = config.right_flank_length
+        self.F = self.L + self.R + 1
+        self.climb = allow_flank_climb
+
+        ref_ok = np.zeros(n_r + 1, dtype=bool)
+        qry_ok = np.zeros(n_q + 1, dtype=bool)
+        ref_ok[rng.reference_offset : rng.reference_limit] = True
+        qry_ok[rng.query_offset : rng.query_limit] = True
+        qmask = np.where(qry_ok[:n_q], 0, INF)
+
+        self._rows = {}
+        self._ins = {}
+        for name, table in (
+            ("primary", config.primary_edit_costs),
+            ("left", config.left_flank_edit_costs),
+            ("right", config.right_flank_edit_costs),
+        ):
+            subrow = np.full((n_r + 1, n_q), INF, dtype=np.int64)
+            delopen = np.full(n_r + 1, INF, dtype=np.int64)
+            delext = np.full(n_r + 1, INF, dtype=np.int64)
+            if n_r and n_q:
+                sub = np.where(
+                    qry_ok[None, :n_q],
+                    table.substitution[ref[:, None], qry[None, :]],
+                    INF,
+                )
+                subrow[1:] = np.where(ref_ok[:n_r, None], sub, INF)
+            if n_r:
+                delopen[1:] = np.where(ref_ok[:n_r], table.gap_open[ref], INF)
+                delext[1:] = np.where(ref_ok[:n_r], table.gap_extend[ref], INF)
+            self._rows[name] = (
+                to_device_costs(subrow),
+                to_device_costs(delopen),
+                to_device_costs(delext),
+            )
+            insopen = (
+                np.where(qry_ok[:n_q], table.gap_open[qry], INF)
+                if n_q
+                else np.zeros(0)
+            )
+            insext = (
+                np.where(qry_ok[:n_q], table.gap_extend[qry], INF)
+                if n_q
+                else np.zeros(0)
+            )
+            self._ins[name] = (to_device_costs(insopen), to_device_costs(insext))
+
+        self._jit_sweep = jax.jit(partial(_sweep_impl, self))
+
+    def sweep(self, seeds: jnp.ndarray) -> jnp.ndarray:
+        """seeds: (F, 3, n_r+1, n_q+1) int32 device costs.  Returns
+        M: (F, 3, n_r+1, n_q+1) int32."""
+        return self._jit_sweep(seeds)
+
+
+def _sweep_impl(s: JaxPrimarySweep, seeds):
+    F, n_q = s.F, s.n_q
+    L, R = s.L, s.R
+
+    xs = {
+        "seed": jnp.moveaxis(seeds, 2, 0),  # (n_r+1, F, 3, n_q+1)
+        "p_sub": s._rows["primary"][0],
+        "p_do": s._rows["primary"][1],
+        "p_de": s._rows["primary"][2],
+        "l_sub": s._rows["left"][0],
+        "l_do": s._rows["left"][1],
+        "l_de": s._rows["left"][2],
+        "r_sub": s._rows["right"][0],
+        "r_do": s._rows["right"][1],
+        "r_de": s._rows["right"][2],
+    }
+    ins = s._ins
+
+    def diag_from(src, subrow):
+        # src: (3, n_q+1); subrow: (n_q,) for this row
+        any_g = jnp.min(src, axis=0)
+        out = sat_add(any_g[:n_q], subrow)
+        return jnp.concatenate([jnp.full((1,), DEV_INF, out.dtype), out])
+
+    def del_from(src, do, de):
+        open_src = jnp.minimum(src[GAP_NONE], src[GAP_INS])
+        return jnp.minimum(sat_add(open_src, do), sat_add(src[GAP_DEL], de))
+
+    def ins_from(src, name):
+        io, ie = ins[name]
+        open_src = jnp.minimum(src[GAP_NONE], src[GAP_DEL])
+        o = sat_add(open_src[:n_q], io)
+        e = sat_add(src[GAP_INS][:n_q], ie)
+        pad = jnp.full((1,), DEV_INF, o.dtype)
+        return jnp.concatenate([pad, o]), jnp.concatenate([pad, e])
+
+    def body(prev, x):
+        # prev: (F, 3, n_q+1) previous row (all-INF for the virtual row -1)
+        rows = [None] * F
+        tabs = {
+            "primary": (x["p_sub"], x["p_do"], x["p_de"]),
+            "left": (x["l_sub"], x["l_do"], x["l_de"]),
+            "right": (x["r_sub"], x["r_do"], x["r_de"]),
+        }
+        for f in range(-R, L + 1):
+            fi = f + R
+            if (-R < f < 0) or (f == 0 and R > 0):
+                climb_src, climb_tab = fi - 1, "right"
+            elif f > 0 and s.climb:
+                climb_src, climb_tab = fi - 1, "left"
+            else:
+                climb_src, climb_tab = None, None
+
+            none_c = x["seed"][fi, GAP_NONE]
+            del_c = x["seed"][fi, GAP_DEL]
+            ins_c = x["seed"][fi, GAP_INS]
+
+            if f == 0:
+                none_c = jnp.minimum(none_c, diag_from(prev[fi], tabs["primary"][0]))
+                del_c = jnp.minimum(
+                    del_c, del_from(prev[fi], tabs["primary"][1], tabs["primary"][2])
+                )
+            if climb_src is not None:
+                ct = tabs[climb_tab]
+                none_c = jnp.minimum(none_c, diag_from(prev[climb_src], ct[0]))
+                del_c = jnp.minimum(del_c, del_from(prev[climb_src], ct[1], ct[2]))
+
+            if climb_src is not None:
+                o, e = ins_from(rows[climb_src], climb_tab)
+                ins_c = jnp.minimum(ins_c, jnp.minimum(o, e))
+
+            if f == 0:
+                io, ie = ins["primary"]
+                open_src = jnp.minimum(none_c, del_c)
+                open_c = sat_add(open_src[:n_q], io)
+                pad = jnp.full((1,), DEV_INF, open_c.dtype)
+                cand = jnp.minimum(ins_c, jnp.concatenate([pad, open_c]))
+                ext_into = jnp.concatenate([pad, ie])
+                ins_final = minplus_scan(cand, ext_into, axis=-1)
+            else:
+                ins_final = ins_c
+
+            rows[fi] = jnp.stack(_ordered(none_c, ins_final, del_c))
+        row = jnp.stack(rows)
+        return row, row
+
+    init = jnp.full((F, 3, n_q + 1), DEV_INF, jnp.int32)
+    _, M = jax.lax.scan(body, init, xs)
+    return jnp.moveaxis(M, 0, 2)  # (F, 3, n_r+1, n_q+1)
+
+
+def _ordered(none_c, ins_c, del_c):
+    out = [None, None, None]
+    out[GAP_NONE] = none_c
+    out[GAP_INS] = ins_c
+    out[GAP_DEL] = del_c
+    return out

@@ -1,0 +1,217 @@
+"""High-level aligner facade and Python API.
+
+Mirrors the reference's `Aligner` facade (lib_tsalign/src/a_star_aligner/
+configurable_a_star_align.rs:120-373) and its pyo3 bindings
+(python_bindings/src/lib.rs:59-152): a serde-style settings object plus
+`align(reference, query, ...)` returning a result with `cigar()`, `stats()`
+and the op list.
+
+Strategy mapping to the dense engine:
+  * template_switch_min_length_strategy (none/lookahead/preprocessed/
+    preprocessed-lookahead) and template_switch_chaining_strategy
+    (none/precompute-only/lower-bound) are A* pruning accelerators in the
+    reference; they do not change the optimum (the reference test suite
+    asserts that, lib_tsalign/src/tests.rs:38-194).  The dense engine
+    computes the same optimum without them, so they are accepted and
+    ignored.
+  * no_ts -> max_template_switches = 0.
+  * descendant strategy `only-equal` -> all TSMs must share a primary
+    (descendant) sequence: solved exactly by running the engine once per
+    allowed primary and taking the better result.
+  * cost_limit -> the result becomes WithoutTarget/ExceededCostLimit when
+    the optimum exceeds the limit (generic_a_star/src/lib.rs:370-380).
+  * memory_limit is accepted for CLI parity; the dense engine's memory is
+    deterministic (no search frontier), so it never trips.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .alignment import Alignment
+from .alphabet import Alphabet, get_alphabet
+from .config import TemplateSwitchConfig
+from .costs import INF
+from .engine import DenseAligner
+from .geometry import AlignmentRange
+from .result import AlignmentResult, AStarResultInfo
+
+
+def _jax_usable() -> bool:
+    try:
+        import jax  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@dataclass
+class Aligner:
+    """Configurable aligner facade (reference parity:
+    configurable_a_star_align.rs:120-131)."""
+
+    costs: Optional[TemplateSwitchConfig] = None
+    alphabet: str = "dna-n"
+    template_switch_min_length_strategy: str = "lookahead"  # accepted, ignored
+    template_switch_chaining_strategy: str = "none"  # accepted, ignored
+    template_switch_total_length_strategy: str = "maximise"  # tie-break (TODO)
+    template_switch_descendant_strategy: str = "any"  # any | only-equal
+    no_ts: bool = False
+    force_label_correcting: bool = False  # accepted, ignored (dense is exact)
+    engine: str = "auto"  # auto | numpy | jax
+    chunk: int = 64
+
+    def __post_init__(self):
+        if self.costs is None:
+            self.costs = TemplateSwitchConfig.default(get_alphabet(self.alphabet))
+
+    def set_costs_parse(self, text: str) -> None:
+        self.costs = TemplateSwitchConfig.parse_plain(text, get_alphabet(self.alphabet))
+
+    def _run_engine(
+        self,
+        ref_arr,
+        qry_arr,
+        range_,
+        max_ts,
+        allowed_primaries,
+        prune_range: bool,
+    ) -> Tuple[int, Alignment]:
+        use_jax = self.engine == "jax" or (
+            self.engine == "auto"
+            and (len(ref_arr) + len(qry_arr) > 160)
+            and _jax_usable()
+        )
+        kw = dict(
+            range_=range_,
+            max_template_switches=max_ts,
+            prune_range=prune_range,
+            allowed_primaries=allowed_primaries,
+        )
+        if use_jax:
+            try:
+                from .jax_engine import JaxAligner
+
+                return JaxAligner(
+                    self.costs, ref_arr, qry_arr, chunk=self.chunk, **kw
+                ).align_with_traceback()
+            except OverflowError:
+                pass  # fall back to the exact int64 numpy engine
+        return DenseAligner(self.costs, ref_arr, qry_arr, **kw).align_with_traceback()
+
+    def align(
+        self,
+        reference: str,
+        query: str,
+        reference_name: str = "reference",
+        query_name: str = "query",
+        range_: Optional[AlignmentRange] = None,
+        cost_limit: Optional[int] = None,
+        memory_limit: Optional[int] = None,
+        max_template_switches: Optional[int] = None,
+        prune_range: bool = False,
+    ) -> "TSPairwiseAlignment":
+        al = self.costs.alphabet
+        ref_arr = al.encode(reference.upper())
+        qry_arr = al.encode(query.upper())
+        max_ts = 0 if self.no_ts else max_template_switches
+
+        t0 = time.monotonic()
+        if self.template_switch_descendant_strategy == "only-equal" and (
+            max_ts is None or max_ts > 0
+        ):
+            best = (INF, Alignment([]))
+            for pk in (0, 1):
+                c, a = self._run_engine(
+                    ref_arr, qry_arr, range_, max_ts, (pk,), prune_range
+                )
+                if c < best[0]:
+                    best = (c, a)
+            cost, alignment = best
+        else:
+            cost, alignment = self._run_engine(
+                ref_arr, qry_arr, range_, max_ts, (0, 1), prune_range
+            )
+        duration = time.monotonic() - t0
+
+        rng = range_ or AlignmentRange.complete(len(ref_arr), len(qry_arr))
+        if cost >= INF:
+            result = AStarResultInfo(type="NoTarget")
+            alignment = None
+        elif cost_limit is not None and cost > cost_limit:
+            result = AStarResultInfo(type="ExceededCostLimit", cost_limit=cost_limit)
+            alignment = None
+        else:
+            result = AStarResultInfo(type="FoundTarget", cost=cost)
+
+        cells = (len(ref_arr) + 1) * (len(qry_arr) + 1)
+        res = AlignmentResult.new(
+            alignment=alignment,
+            reference=reference.upper(),
+            query=query.upper(),
+            reference_rc=al.reverse_complement_str(reference.upper()),
+            query_rc=al.reverse_complement_str(query.upper()),
+            reference_name=reference_name,
+            query_name=query_name,
+            reference_offset=rng.reference_offset,
+            query_offset=rng.query_offset,
+            result=result,
+            duration_seconds=duration,
+            opened_nodes=cells,
+            closed_nodes=cells,
+            suboptimal_opened_nodes=0,
+        )
+        return TSPairwiseAlignment(res)
+
+
+@dataclass
+class TSPairwiseAlignment:
+    """Mirror of the pyo3 TSPairwiseAlignment (python_bindings/src/lib.rs:17-51)."""
+
+    result: AlignmentResult
+
+    def cigar(self) -> str:
+        return self.result.cigar()
+
+    def stats(self) -> dict:
+        r = self.result
+        return {
+            "cost": r.cost,
+            "cost_per_base": r.cost_per_base,
+            "duration_seconds": r.duration_seconds,
+            "opened_nodes": r.opened_nodes,
+            "closed_nodes": r.closed_nodes,
+            "suboptimal_opened_nodes": r.suboptimal_opened_nodes,
+            "suboptimal_opened_nodes_ratio": r.suboptimal_opened_nodes_ratio,
+            "template_switch_amount": r.template_switch_amount,
+            "runtime": r.runtime,
+            "memory": r.memory,
+        }
+
+    def alignments(self) -> List[Tuple[int, object]]:
+        return list(self.result.alignment.entries) if self.result.alignment else []
+
+    def has_target(self) -> bool:
+        return self.result.has_target
+
+    def to_toml(self) -> str:
+        return self.result.to_toml()
+
+
+def align(
+    reference: str,
+    query: str,
+    costs: Optional[str] = None,
+    alphabet: str = "dna-n",
+    **kwargs,
+) -> TSPairwiseAlignment:
+    """Module-level convenience (python/tsalign/__init__.py parity)."""
+    a = Aligner(alphabet=alphabet)
+    if costs is not None:
+        a.set_costs_parse(costs)
+    return a.align(reference, query, **kwargs)

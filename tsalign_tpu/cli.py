@@ -1,0 +1,227 @@
+"""Command-line interface: align / preprocess / show.
+
+Mirrors the reference CLI surface (tsalign/src/main.rs:18-33 and
+tsalign/src/align.rs:57-223): subcommands, the config-directory convention
+(`<dir>/config.tsa`), alphabets, skip characters, rq-ranges, cost limits and
+the alignment-method selector.  Methods:
+
+  * a-star-template-switch (default): the dense TSM engine;
+  * a-star-gap-affine:  gap-affine only (no TSM layers);
+  * matrix:             dense Needleman-Wunsch, cost only;
+  * a-star-chain-ts:    long-sequence chained mode (anchors + chain DP).
+
+Run as `python -m tsalign_tpu.cli ...`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+import time
+
+from .alphabet import get_alphabet
+from .config import TemplateSwitchConfig
+from .costs import INF
+from .fasta import load_pair
+from .geometry import AlignmentRange
+
+
+def _parse_rq_ranges(text: str) -> AlignmentRange:
+    """Parse `R<a>..<b>Q<c>..<d>` (align.rs --rq-ranges; `|` variants are
+    handled by splitting before this)."""
+    m = re.match(r"^R(\d+)\.\.(\d+)Q(\d+)\.\.(\d+)$", text.strip())
+    if not m:
+        raise ValueError(f"Malformed rq-ranges {text!r}; expected R<a>..<b>Q<c>..<d>")
+    a, b, c, d = map(int, m.groups())
+    return AlignmentRange(a, c, b, d)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tsalign-tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    a = sub.add_parser("align", help="align a pair of sequences")
+    a.add_argument("-l", "--log-level", default="info")
+    a.add_argument("-p", "--pair-fasta")
+    a.add_argument("-r", "--reference-fasta")
+    a.add_argument("-q", "--query-fasta")
+    a.add_argument("-o", "--output")
+    a.add_argument("-c", "--configuration-directory", default=None)
+    a.add_argument(
+        "-a",
+        "--alphabet",
+        default="dna-n",
+        choices=["dna", "dna-n", "rna", "rna-n", "dna-iupac", "rna-iupac"],
+    )
+    a.add_argument("--skip-characters", default="")
+    a.add_argument(
+        "--alignment-method",
+        default="a-star-template-switch",
+        choices=[
+            "matrix",
+            "a-star-gap-affine",
+            "a-star-template-switch",
+            "a-star-chain-ts",
+        ],
+    )
+    a.add_argument("--no-ts", action="store_true")
+    a.add_argument("--cost-limit", type=int, default=None)
+    a.add_argument("--memory-limit", type=int, default=None)
+    a.add_argument("--max-template-switches", type=int, default=None)
+    a.add_argument("--rq-ranges", default=None)
+    a.add_argument("--use-embedded-rq-ranges", action="store_true")
+    a.add_argument("--prune-range", action="store_true")
+    a.add_argument("--dont-extend-beyond-range", action="store_true")
+    # strategy selectors, accepted for CLI parity (the dense engine computes
+    # the same optimum without the A* pruning strategies)
+    a.add_argument("--ts-min-length-strategy", default="lookahead")
+    a.add_argument("--ts-chaining-strategy", default="none")
+    a.add_argument("--ts-total-length-strategy", default="maximise")
+    a.add_argument("--ts-descendant-strategy", default="any",
+                   choices=["any", "only-equal"])
+    a.add_argument("--force-label-correcting", action="store_true")
+    a.add_argument("--engine", default="auto", choices=["auto", "numpy", "jax"])
+
+    pre = sub.add_parser("preprocess", help="precompute chained-mode caches")
+    pre.add_argument("-c", "--configuration-directory", required=True)
+    pre.add_argument("--cache-directory", default=".")
+    pre.add_argument("-k", type=int, default=None)
+    pre.add_argument("--max-n", type=int, default=None)
+
+    s = sub.add_parser("show", help="render an alignment TOML")
+    s.add_argument("-i", "--input", required=True)
+    s.add_argument("-n", "--no-ts-input", default=None)
+    s.add_argument("-s", "--svg-output", default=None)
+    s.add_argument("-p", "--png-output", default=None)
+    s.add_argument("-z", "--context", type=int, default=None)
+    s.add_argument("-a", "--arrows", action="store_true")
+    s.add_argument("-c", "--complements", action="store_true")
+    s.add_argument("-e", "--equal-cost-ranges", action="store_true")
+    s.add_argument("-r", "--render-error-svg", action="store_true")
+    return p
+
+
+def cmd_align(args) -> int:
+    from .aligner import Aligner
+
+    al = get_alphabet(args.alphabet)
+    if args.configuration_directory:
+        config = TemplateSwitchConfig.from_path(
+            f"{args.configuration_directory}/config.tsa", al
+        )
+    else:
+        config = TemplateSwitchConfig.default(al)
+
+    ref_rec, qry_rec, embedded = load_pair(
+        pair_path=args.pair_fasta,
+        reference_path=args.reference_fasta,
+        query_path=args.query_fasta,
+        skip_characters=args.skip_characters,
+        use_embedded_rq_ranges=args.use_embedded_rq_ranges,
+    )
+    rng = embedded
+    if args.rq_ranges:
+        rng = _parse_rq_ranges(args.rq_ranges)
+
+    if args.alignment_method == "a-star-chain-ts":
+        print("a-star-chain-ts: not yet implemented in this build", file=sys.stderr)
+        return 2
+    if args.alignment_method == "matrix":
+        return _cmd_align_matrix(args, config, ref_rec, qry_rec)
+
+    aligner = Aligner(
+        costs=config,
+        alphabet=args.alphabet,
+        template_switch_descendant_strategy=args.ts_descendant_strategy,
+        no_ts=args.no_ts or args.alignment_method == "a-star-gap-affine",
+        engine=args.engine,
+    )
+    result = aligner.align(
+        ref_rec.sequence,
+        qry_rec.sequence,
+        reference_name=ref_rec.id,
+        query_name=qry_rec.id,
+        range_=rng,
+        cost_limit=args.cost_limit,
+        memory_limit=args.memory_limit,
+        max_template_switches=args.max_template_switches,
+        prune_range=args.prune_range,
+    )
+    toml = result.to_toml()
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(toml)
+    stats = result.stats()
+    print(f"cost: {int(stats['cost'])}")
+    if result.has_target():
+        print(f"cigar: {result.cigar()}")
+    print(f"duration_seconds: {stats['duration_seconds']:.3f}")
+    return 0
+
+
+def _cmd_align_matrix(args, config, ref_rec, qry_rec) -> int:
+    """Dense Needleman-Wunsch cost (reference `--alignment-method matrix`,
+    alignment_matrix.rs:40-78: cost only, no traceback output)."""
+    import numpy as np
+
+    al = config.alphabet
+    ref = al.encode(ref_rec.sequence)
+    qry = al.encode(qry_rec.sequence)
+    t0 = time.monotonic()
+    sub = config.primary_edit_costs.substitution
+    go = config.primary_edit_costs.gap_open
+    # The reference matrix method is linear-gap NW using gap open costs.
+    n, m = len(ref), len(qry)
+    row = np.zeros(m + 1, dtype=np.int64)
+    for j in range(1, m + 1):
+        row[j] = row[j - 1] + go[qry[j - 1]]
+    for i in range(1, n + 1):
+        prev_diag = row[0]
+        row[0] += go[ref[i - 1]]
+        for j in range(1, m + 1):
+            d = prev_diag + sub[ref[i - 1], qry[j - 1]]
+            u = row[j] + go[ref[i - 1]]
+            l = row[j - 1] + go[qry[j - 1]]
+            prev_diag = row[j]
+            row[j] = min(d, u, l)
+    print(f"cost: {row[m]}")
+    print(f"duration_seconds: {time.monotonic() - t0:.3f}")
+    return 0
+
+
+def cmd_show(args) -> int:
+    from .result import AlignmentResult
+    from .show.plain_text import show_template_switches
+
+    with open(args.input) as f:
+        result = AlignmentResult.from_toml(f.read())
+    no_ts = None
+    if args.no_ts_input:
+        with open(args.no_ts_input) as f:
+            no_ts = AlignmentResult.from_toml(f.read())
+    show_template_switches(sys.stdout, result, no_ts)
+    if args.svg_output or args.png_output:
+        print("svg/png rendering: not yet implemented in this build", file=sys.stderr)
+        return 2
+    return 0
+
+
+def cmd_preprocess(args) -> int:
+    print("preprocess: not yet implemented in this build", file=sys.stderr)
+    return 2
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "align":
+        return cmd_align(args)
+    if args.command == "show":
+        return cmd_show(args)
+    if args.command == "preprocess":
+        return cmd_preprocess(args)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -64,8 +64,10 @@ class DenseAligner:
         prune_range: bool = False,
         allow_secondary_deletions: bool = True,
         max_rounds: int = 32,
+        allowed_primaries=(0, 1),
     ):
         self.config = config
+        self.allowed_primaries = tuple(allowed_primaries)
         self.ref = np.asarray(reference)
         self.qry = np.asarray(query)
         n_r, n_q = len(self.ref), len(self.qry)
@@ -138,6 +140,7 @@ class DenseAligner:
             self.anti_bounds_qry,
             sdel_budget=budget,
             allow_secondary_deletions=self.allow_sdel,
+            allowed_primaries=self.allowed_primaries,
         )
 
     def align(self) -> EngineResult:
@@ -154,6 +157,7 @@ class DenseAligner:
             results.primary_fields.append(M)
             best = self._target_cost(M)
             budget = self._sdel_budget(best)
+            self._last_budget = budget
             for c in range(1, t + 1):
                 R = self._reentry(M, budget)
                 results.reentry_fields.append(R)
@@ -173,6 +177,7 @@ class DenseAligner:
         results.primary_fields.append(M)
         best = self._target_cost(M)
         budget = self._sdel_budget(best)
+        self._last_budget = budget
         for k in range(1, self.max_rounds + 1):
             R = self._reentry(M, budget)
             results.reentry_fields.append(R)
@@ -188,6 +193,35 @@ class DenseAligner:
         results.cost = best
         results.rounds = self.max_rounds + 1
         return results
+
+    def align_with_traceback(self):
+        result = self.align()
+        return _align_with_traceback(self, result)
+
+
+def _align_with_traceback(aligner, result):
+    """Shared traceback wrapper for DenseAligner / JaxAligner results."""
+    from .alignment import Alignment
+    from .traceback import TracebackEngine
+
+    if result.cost >= INF:
+        return result.cost, Alignment([])
+    t = aligner.max_ts
+    if t is not None:
+        climb = [c < t for c in range(len(result.primary_fields))]
+    else:
+        climb = [True] * len(result.primary_fields)
+    tb = TracebackEngine(
+        aligner.config,
+        aligner.ref,
+        aligner.qry,
+        range_=aligner.range,
+        prune_range=aligner.prune_range,
+        allow_secondary_deletions=aligner.allow_sdel,
+        sdel_budget=getattr(aligner, "_last_budget", None),
+        allowed_primaries=getattr(aligner, "allowed_primaries", (0, 1)),
+    )
+    return tb.trace(result.primary_fields, result.reentry_fields, climb_flags=climb)
 
 
 def _as_seeds(R: np.ndarray, F: int) -> np.ndarray:

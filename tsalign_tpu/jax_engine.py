@@ -57,8 +57,10 @@ class JaxAligner:
         max_rounds: int = 32,
         chunk: int = 64,
         keep_fields: bool = True,
+        allowed_primaries=(0, 1),
     ):
         self.config = config
+        self.allowed_primaries = tuple(allowed_primaries)
         self.ref = np.asarray(reference)
         self.qry = np.asarray(query)
         n_r, n_q = len(self.ref), len(self.qry)
@@ -161,7 +163,7 @@ class JaxAligner:
 
     def _build_kinds(self, budget: Optional[int]) -> List[JaxKindModule]:
         kinds = []
-        for pk in (0, 1):
+        for pk in self.allowed_primaries:
             anti_lo, anti_hi = (
                 self.anti_bounds_qry if pk == 0 else self.anti_bounds_ref
             )
@@ -277,7 +279,9 @@ class JaxAligner:
             if t == 0:
                 res.cost, res.rounds = best, 1
                 return res
-            kinds = self._build_kinds(self._sdel_budget(best))
+            budget = self._sdel_budget(best)
+            self._last_budget = budget
+            kinds = self._build_kinds(budget)
             for c in range(1, t + 1):
                 R = self._reentry(M, kinds)
                 keepR(R)
@@ -291,7 +295,9 @@ class JaxAligner:
         M = self._get_sweep(True).sweep(root)
         keep(M)
         best = self._target_cost(M)
-        kinds = self._build_kinds(self._sdel_budget(best))
+        budget = self._sdel_budget(best)
+        self._last_budget = budget
+        kinds = self._build_kinds(budget)
         for k in range(1, self.max_rounds + 1):
             R = self._reentry(M, kinds)
             keepR(R)
@@ -305,3 +311,9 @@ class JaxAligner:
             M = M_next
         res.cost, res.rounds = best, self.max_rounds + 1
         return res
+
+    def align_with_traceback(self):
+        from .engine import _align_with_traceback
+
+        result = self.align()
+        return _align_with_traceback(self, result)

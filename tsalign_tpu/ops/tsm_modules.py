@@ -430,6 +430,7 @@ def compute_reentry_fields(
     anti_bounds_qry: Tuple[int, int],
     sdel_budget: Optional[int] = None,
     allow_secondary_deletions: bool = True,
+    allowed_primaries=(0, 1),
 ) -> np.ndarray:
     """All-kinds reentry field in (ref, query) cell coordinates.
 
@@ -441,7 +442,7 @@ def compute_reentry_fields(
     """
     n_r, n_q = len(reference), len(query)
     out = np.full((n_r + 1, n_q + 1), INF, dtype=np.int64)
-    for pk in (0, 1):
+    for pk in allowed_primaries:
         A_mod = entry_field if pk == 0 else entry_field.T
         anti_lo, anti_hi = anti_bounds_qry if pk == 0 else anti_bounds_ref
         for sk in (0, 1):

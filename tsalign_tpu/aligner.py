@@ -115,6 +115,7 @@ class Aligner:
         memory_limit: Optional[int] = None,
         max_template_switches: Optional[int] = None,
         prune_range: bool = False,
+        extend_beyond_range: bool = True,
     ) -> "TSPairwiseAlignment":
         al = self.costs.alphabet
         ref_arr = al.encode(reference.upper())
@@ -140,6 +141,12 @@ class Aligner:
         duration = time.monotonic() - t0
 
         rng = range_ or AlignmentRange.complete(len(ref_arr), len(qry_arr))
+        if cost < INF and alignment is not None:
+            from .postprocess import compute_ts_equal_cost_ranges, extend_beyond_range as _ext
+
+            if extend_beyond_range:
+                rng = _ext(alignment, self.costs, ref_arr, qry_arr, rng)
+            compute_ts_equal_cost_ranges(alignment, self.costs, ref_arr, qry_arr, rng)
         if cost >= INF:
             result = AStarResultInfo(type="NoTarget")
             alignment = None

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -82,7 +82,7 @@ def _finite_segments(fn: CostFunction, lo: int, hi: int) -> List[Tuple[int, int,
     return out
 
 
-@dataclass
+@dataclass(frozen=True)
 class _SegPlan:
     a: int
     b: int
@@ -92,6 +92,26 @@ class _SegPlan:
     full_rows_end: int  # main sliding-window value valid for rows [0..end] (pos) / [start..n_p] (neg)
     band_rows: Tuple[int, int]  # inclusive row range needing clipped windows
     kill_from: int  # rows with no feasible ldiff in this segment
+
+
+class _Static(NamedTuple):
+    """Hashable static snapshot keying the jitted kind pipeline."""
+
+    same_seq: bool
+    dk: int
+    n_p: int
+    n_s: int
+    W: int
+    L: int
+    OFF: int
+    LL: int
+    s_lo: int
+    S: int
+    ldiff0: int
+    allow_sdel: bool
+    anti_lo: int
+    anti_hi: int
+    plans: tuple
 
 
 class JaxKindModule:
@@ -230,32 +250,65 @@ class JaxKindModule:
                         kill_from=Al - b2,  # rows < this are killed
                     )
                 )
-        self.plans = plans
+        self.plans = tuple(plans)
 
-        self._jit = jax.jit(partial(_kind_impl, self))
+        self._static = _Static(
+            same_seq=spec.same_seq,
+            dk=spec.dk,
+            n_p=spec.n_p,
+            n_s=spec.n_s,
+            W=self.W,
+            L=spec.l_max,
+            OFF=self.OFF,
+            LL=self.LL,
+            s_lo=self.s_lo,
+            S=self.S,
+            ldiff0=int(self.ldiff0),
+            allow_sdel=self.allow_sdel,
+            anti_lo=anti_lo,
+            anti_hi=anti_hi,
+            plans=self.plans,
+        )
+        self._fixed = {
+            "seed": jnp.asarray(self.seed),
+            "lut": jnp.asarray(self.sub_lut),
+            "sdo": jnp.asarray(self.sdel_open),
+            "sde": jnp.asarray(self.sdel_ext),
+            "pchar_l": jnp.asarray(self.pchar_l),
+            "pmask_l": jnp.asarray(self.pmask_l),
+            "pgo": jnp.asarray(self.pgap_open),
+            "pge": jnp.asarray(self.pgap_ext),
+            "length_vec": jnp.asarray(self.length_vec),
+            "anti_vec": jnp.asarray(self.anti_vec),
+        }
 
     def run(self, A_chunk: jnp.ndarray, seed_chunk, lut_chunk, do_chunk, de_chunk):
         """A_chunk: (n_p+1, C) entry costs for this e-slab (same_seq: full
         A rows x e-slab).  Returns R_pad (n_p+1, C + S - 1) for columns
-        j2 = e0 + s_lo ... e0 + C - 1 + s_hi."""
-        return self._jit(A_chunk, seed_chunk, lut_chunk, do_chunk, de_chunk)
+        j2 = e0 + s_lo ... e0 + C - 1 + s_hi.  The jitted pipeline is
+        module-level keyed on the static snapshot, so equal-shaped kinds
+        (e.g. across chained segments) share compilations."""
+        return _kind_impl(
+            A_chunk, seed_chunk, lut_chunk, do_chunk, de_chunk, self._fixed,
+            st=self._static,
+        )
 
 
-def _kind_impl(m: JaxKindModule, A_chunk, seed_chunk, lut_chunk, do_chunk, de_chunk):
-    spec = m.spec
-    L = spec.l_max
-    n_p = spec.n_p
+@partial(jax.jit, static_argnames=("st",))
+def _kind_impl(A_chunk, seed_chunk, lut_chunk, do_chunk, de_chunk, fixed, *, st):
+    L = st.L
+    n_p = st.n_p
     C = A_chunk.shape[1]
-    W = m.W
+    W = st.W
 
     # ---- module scan -----------------------------------------------------
-    if spec.same_seq:
+    if st.same_seq:
         # batch = p1 (n_s + 1 == n_p + 1); A is added in the assembly.
-        n_b = spec.n_s + 1
+        n_b = st.n_s + 1
         T0 = jnp.full((3, n_b, W), DEV_INF, jnp.int32)
-        T0 = T0.at[GAP_NONE].set(jnp.asarray(m.seed))
-        lut = jnp.asarray(m.sub_lut)
-        sdo, sde = jnp.asarray(m.sdel_open), jnp.asarray(m.sdel_ext)
+        T0 = T0.at[GAP_NONE].set(fixed["seed"])
+        lut = fixed["lut"]
+        sdo, sde = fixed["sdo"], fixed["sde"]
     else:
         # batch = (p1, e); entry field folded into seeds.
         n_b = n_p + 1
@@ -264,10 +317,10 @@ def _kind_impl(m: JaxKindModule, A_chunk, seed_chunk, lut_chunk, do_chunk, de_ch
         lut = lut_chunk  # (A, C, W)
         sdo, sde = do_chunk, de_chunk  # (C, W)
 
-    fwd = spec.dk == 0
+    fwd = st.dk == 0
 
     def close(T):
-        if not m.allow_sdel:
+        if not st.allow_sdel:
             return T
         open_src = jnp.minimum(T[GAP_NONE], T[GAP_INS])
         pad_shape = T.shape[1:-1] + (1,)
@@ -284,9 +337,9 @@ def _kind_impl(m: JaxKindModule, A_chunk, seed_chunk, lut_chunk, do_chunk, de_ch
             d = minplus_scan(cand, ext, axis=-1, reverse=True)
         return T.at[GAP_DEL].set(d)
 
-    pchar_l = jnp.asarray(m.pchar_l)  # (L, n_b)
-    pmask_l = jnp.asarray(m.pmask_l)
-    pgo, pge = jnp.asarray(m.pgap_open), jnp.asarray(m.pgap_ext)
+    pchar_l = fixed["pchar_l"]  # (L, n_b)
+    pmask_l = fixed["pmask_l"]
+    pgo, pge = fixed["pgo"], fixed["pge"]
 
     def step(T, x):
         pchar, pmask = x
@@ -294,7 +347,7 @@ def _kind_impl(m: JaxKindModule, A_chunk, seed_chunk, lut_chunk, do_chunk, de_ch
         emit = jnp.min(jnp.min(T, axis=0), axis=-1)  # (n_b[, C])
         # transitions to the next level
         src_any = jnp.min(T, axis=0)
-        if spec.same_seq:
+        if st.same_seq:
             sub = jnp.take_along_axis(lut, pchar[None, :, None], axis=0)[0]
             sub = sat_add(sub, pmask[:, None])
         else:
@@ -326,11 +379,11 @@ def _kind_impl(m: JaxKindModule, A_chunk, seed_chunk, lut_chunk, do_chunk, de_ch
 
     # ---- assembly --------------------------------------------------------
     # D3pl[p1, e, l] = entry + module + length(l)
-    if spec.same_seq:
+    if st.same_seq:
         D3 = sat_add(A_chunk[:, :, None], jnp.moveaxis(B, 0, -1)[:, None, :])
     else:
         D3 = jnp.moveaxis(B, 0, -1)  # (n_p+1, C, L+1)
-    D3 = sat_add(D3, jnp.asarray(m.length_vec)[None, None, :])
+    D3 = sat_add(D3, fixed["length_vec"][None, None, :])
 
     # shear: D3s[p2, e, l] = D3[p2 - l, e, l]
     p2 = jnp.arange(n_p + 1)[:, None, None]
@@ -341,25 +394,25 @@ def _kind_impl(m: JaxKindModule, A_chunk, seed_chunk, lut_chunk, do_chunk, de_ch
     )
     D3s = jnp.where(p1_idx >= 0, D3s, DEV_INF)
 
-    OFF, LL = m.OFF, m.LL
+    OFF, LL = st.OFF, st.LL
     D3pad = jnp.full((n_p + 1, C, LL), DEV_INF, jnp.int32)
     D3pad = jax.lax.dynamic_update_slice(D3pad, D3s, (0, 0, OFF))
 
     # per-segment main sliding mins + band corrections
     seg_arrays = []
-    for plan in m.plans:
+    for plan in st.plans:
         w = plan.b - plan.a + 1
         sw = sliding_min_start(D3pad, w, axis=-1)
-        band = _band_correction(m, plan, D3pad, n_p, C)
+        band = _band_correction(st, plan, D3pad, n_p, C)
         seg_arrays.append((plan, sw, band))
 
-    anti_vec = jnp.asarray(m.anti_vec)
-    S = m.S
+    anti_vec = fixed["anti_vec"]
+    S = st.S
     R0 = jnp.full((n_p + 1, C + S - 1), DEV_INF, jnp.int32)
     row_idx = jnp.arange(n_p + 1)
 
     def s_body(R, s_idx):
-        s = m.s_lo + s_idx
+        s = st.s_lo + s_idx
         u = jnp.full((n_p + 1, C), DEV_INF, jnp.int32)
         for plan, sw, band in seg_arrays:
             t = OFF + s - plan.b  # start-anchored window index
@@ -378,7 +431,7 @@ def _kind_impl(m: JaxKindModule, A_chunk, seed_chunk, lut_chunk, do_chunk, de_ch
             u = jnp.minimum(u, sat_add(val, np.int32(min(plan.cost, int(DEV_INF)))))
         # ldiff = 0 exact term (always walk-feasible)
         v0 = jax.lax.dynamic_slice(D3pad, (0, 0, OFF + s), (n_p + 1, C, 1))[..., 0]
-        u = jnp.minimum(u, sat_add(v0, m.ldiff0))
+        u = jnp.minimum(u, sat_add(v0, np.int32(st.ldiff0)))
         u = sat_add(u, anti_vec[s_idx])
         cur = jax.lax.dynamic_slice(R, (0, s_idx), (n_p + 1, C))
         R = jax.lax.dynamic_update_slice(R, jnp.minimum(cur, u), (0, s_idx))
@@ -388,7 +441,7 @@ def _kind_impl(m: JaxKindModule, A_chunk, seed_chunk, lut_chunk, do_chunk, de_ch
     return R_pad
 
 
-def _band_correction(m: JaxKindModule, plan: _SegPlan, D3pad, n_p: int, C: int):
+def _band_correction(st, plan: _SegPlan, D3pad, n_p: int, C: int):
     """Per-row-width window minima for the feasibility boundary band.
 
     Positive segments: window ends at t_end = s - a with static per-row width
@@ -410,9 +463,9 @@ def _band_correction(m: JaxKindModule, plan: _SegPlan, D3pad, n_p: int, C: int):
         return None
     rows = np.arange(b0, b1 + 1)
     if plan.positive:
-        widths = m.anti_hi - plan.a - rows + 1
+        widths = st.anti_hi - plan.a - rows + 1
     else:
-        widths = rows + plan.b - m.anti_lo + 1
+        widths = rows + plan.b - st.anti_lo + 1
     widths = np.clip(widths, 1, plan.b - plan.a + 1)
     slab = jax.lax.dynamic_slice(
         D3pad, (b0, 0, 0), (b1 - b0 + 1, C, D3pad.shape[-1])

@@ -93,31 +93,39 @@ class JaxPrimarySweep:
             )
             self._ins[name] = (to_device_costs(insopen), to_device_costs(insext))
 
-        self._jit_sweep = jax.jit(partial(_sweep_impl, self))
-
     def sweep(self, seeds: jnp.ndarray) -> jnp.ndarray:
         """seeds: (F, 3, n_r+1, n_q+1) int32 device costs.  Returns
-        M: (F, 3, n_r+1, n_q+1) int32."""
-        return self._jit_sweep(seeds)
+        M: (F, 3, n_r+1, n_q+1) int32.
+
+        The jitted kernel is module-level with static (L, R, climb), so
+        instances with equal shapes share one compilation."""
+        arrays = {
+            "p": self._rows["primary"],
+            "l": self._rows["left"],
+            "r": self._rows["right"],
+            "ins": self._ins,
+        }
+        return _sweep_jit(seeds, arrays, L=self.L, R=self.R, climb=self.climb)
 
 
-def _sweep_impl(s: JaxPrimarySweep, seeds):
-    F, n_q = s.F, s.n_q
-    L, R = s.L, s.R
+@partial(jax.jit, static_argnames=("L", "R", "climb"))
+def _sweep_jit(seeds, arrays, *, L, R, climb):
+    F = L + R + 1
+    n_q = arrays["p"][0].shape[1]
 
     xs = {
         "seed": jnp.moveaxis(seeds, 2, 0),  # (n_r+1, F, 3, n_q+1)
-        "p_sub": s._rows["primary"][0],
-        "p_do": s._rows["primary"][1],
-        "p_de": s._rows["primary"][2],
-        "l_sub": s._rows["left"][0],
-        "l_do": s._rows["left"][1],
-        "l_de": s._rows["left"][2],
-        "r_sub": s._rows["right"][0],
-        "r_do": s._rows["right"][1],
-        "r_de": s._rows["right"][2],
+        "p_sub": arrays["p"][0],
+        "p_do": arrays["p"][1],
+        "p_de": arrays["p"][2],
+        "l_sub": arrays["l"][0],
+        "l_do": arrays["l"][1],
+        "l_de": arrays["l"][2],
+        "r_sub": arrays["r"][0],
+        "r_do": arrays["r"][1],
+        "r_de": arrays["r"][2],
     }
-    ins = s._ins
+    ins = arrays["ins"]
 
     def diag_from(src, subrow):
         # src: (3, n_q+1); subrow: (n_q,) for this row
@@ -149,7 +157,7 @@ def _sweep_impl(s: JaxPrimarySweep, seeds):
             fi = f + R
             if (-R < f < 0) or (f == 0 and R > 0):
                 climb_src, climb_tab = fi - 1, "right"
-            elif f > 0 and s.climb:
+            elif f > 0 and climb:
                 climb_src, climb_tab = fi - 1, "left"
             else:
                 climb_src, climb_tab = None, None

@@ -1,0 +1,75 @@
+"""Chained long-sequence mode: anchors, chain, and segment-stitch driver."""
+
+import numpy as np
+
+from tsalign_tpu.alphabet import get_alphabet
+from tsalign_tpu.chain import chain_align
+from tsalign_tpu.chain.anchors import Anchors, choose_k
+from tsalign_tpu.chain.chain import compute_chain, exact_match_runs
+from tsalign_tpu.engine import DenseAligner
+from tsalign_tpu.pricing import price_alignment
+
+from util import random_config
+
+
+def test_anchor_native_matches_numpy():
+    rng = np.random.default_rng(0)
+    for trial in range(10):
+        n1, n2 = int(rng.integers(0, 150)), int(rng.integers(0, 150))
+        k = int(rng.integers(2, 12))
+        r = rng.integers(0, 5, size=n1).astype(np.int8)  # includes N
+        q = rng.integers(0, 5, size=n2).astype(np.int8)
+        a = Anchors.build(r, q, k, use_native=True)
+        b = Anchors.build(r, q, k, use_native=False)
+        assert np.array_equal(a.ref_pos, b.ref_pos)
+        assert np.array_equal(a.qry_pos, b.qry_pos)
+
+
+def test_anchor_exactness():
+    rng = np.random.default_rng(3)
+    r = rng.integers(0, 4, size=60).astype(np.int8)
+    q = rng.integers(0, 4, size=60).astype(np.int8)
+    k = 5
+    a = Anchors.build(r, q, k)
+    expected = {
+        (i, j)
+        for i in range(len(r) - k + 1)
+        for j in range(len(q) - k + 1)
+        if np.array_equal(r[i : i + k], q[j : j + k])
+    }
+    assert set(zip(a.ref_pos.tolist(), a.qry_pos.tolist())) == expected
+
+
+def test_chain_follows_diagonal():
+    rng = np.random.default_rng(5)
+    n = 400
+    r = rng.integers(0, 4, size=n).astype(np.int8)
+    q = r.copy()
+    q[200] = (q[200] + 1) % 4
+    a = Anchors.build(r, q, choose_k(2 * n))
+    ch = compute_chain(a)
+    assert len(ch) > 10
+    assert np.array_equal(ch.ref_pos, ch.qry_pos)  # identical pair: main diagonal
+    runs = exact_match_runs(ch)
+    assert 1 <= len(runs) <= 3
+
+
+def test_chain_align_matches_full_engine():
+    """Chained mode equals the full dense engine when TSMs are local
+    (small-window config keeps the numpy engine fast)."""
+    rng = np.random.default_rng(11)
+    al = get_alphabet("dna")
+    cfg = random_config(rng, al, flanks=False)
+    n = 160
+    ref = rng.integers(0, 4, size=n).astype(np.int8)
+    qry = ref.copy()
+    comp = al.complement_array()
+    a, b = 60, 60 + max(3, cfg.template_switch_min_length + 1)
+    qry[a:b] = [comp[c] for c in qry[a:b]][::-1]
+    qry[20] = (qry[20] + 1) % 4
+
+    res = chain_align(cfg, ref, qry, target_segment=48, engine="numpy")
+    assert res.segments >= 2
+    assert price_alignment(cfg, ref, qry, res.alignment) == res.cost
+    full = DenseAligner(cfg, ref, qry).align().cost
+    assert res.cost == full

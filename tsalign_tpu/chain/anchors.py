@@ -16,11 +16,14 @@ from typing import Tuple
 import numpy as np
 
 
-def pack_kmers(seq: np.ndarray, k: int) -> np.ndarray:
+def pack_kmers(seq: np.ndarray, k: int, salt: int = 0) -> np.ndarray:
     """2-bit pack every k-mer of `seq` (values 0..3; other values poison the
-    window).  Returns (len(seq)-k+1,) uint64 codes; poisoned windows get the
-    sentinel 2^63 + position to keep them unique (never matching)."""
+    window).  Returns (len(seq)-k+1,) uint64 codes; poisoned windows get a
+    per-(salt, position) unique sentinel above 2^62 so they never match any
+    window of either sequence."""
     n = len(seq)
+    if k > 31:
+        raise ValueError("k-mer length must be <= 31 for 2-bit packing")
     if n < k or k == 0:
         return np.zeros(0, dtype=np.uint64)
     s = np.asarray(seq, dtype=np.int64)
@@ -33,9 +36,12 @@ def pack_kmers(seq: np.ndarray, k: int) -> np.ndarray:
         codes = (codes << np.uint64(2)) | vals[off : off + m]
     # windows containing a poisoned char never match
     bad_win = np.convolve(bad.astype(np.int64), np.ones(k, dtype=np.int64), "valid") > 0
-    codes = np.where(
-        bad_win, (np.uint64(1) << np.uint64(63)) + np.arange(m, dtype=np.uint64), codes
+    sentinel = (
+        (np.uint64(1) << np.uint64(63))
+        | (np.uint64(salt & 1) << np.uint64(62))
+        | np.arange(m, dtype=np.uint64)
     )
+    codes = np.where(bad_win, sentinel, codes)
     return codes
 
 
@@ -71,10 +77,20 @@ class Anchors:
     qry_pos: np.ndarray
 
     @classmethod
-    def build(cls, reference: np.ndarray, query: np.ndarray, k: int) -> "Anchors":
-        c1 = pack_kmers(reference, k)
-        c2 = pack_kmers(query, k)
-        i, j = merge_join(c1, c2)
+    def build(
+        cls, reference: np.ndarray, query: np.ndarray, k: int, use_native: bool = True
+    ) -> "Anchors":
+        native = None
+        if use_native:
+            from .native import kmer_anchors_native
+
+            native = kmer_anchors_native(reference, query, k)
+        if native is not None:
+            i, j = native
+        else:
+            c1 = pack_kmers(reference, k, salt=0)
+            c2 = pack_kmers(query, k, salt=1)
+            i, j = merge_join(c1, c2)
         order = np.lexsort((j, i))
         return cls(k=k, ref_pos=i[order], qry_pos=j[order])
 

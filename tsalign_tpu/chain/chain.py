@@ -46,6 +46,11 @@ def compute_chain(
     i = anchors.ref_pos
     j = anchors.qry_pos
     k = anchors.k
+    from .native import chain_native
+
+    idx_native = chain_native(i, j, k, match_score, window, max_gap)
+    if idx_native is not None:
+        return Chain(k, i[idx_native], j[idx_native])
     score = np.full(n, k * match_score, dtype=np.int64)
     parent = np.full(n, -1, dtype=np.int64)
     for a in range(n):

@@ -201,8 +201,20 @@ def cmd_show(args) -> int:
         with open(args.no_ts_input) as f:
             no_ts = AlignmentResult.from_toml(f.read())
     show_template_switches(sys.stdout, result, no_ts)
-    if args.svg_output or args.png_output:
-        print("svg/png rendering: not yet implemented in this build", file=sys.stderr)
+    if args.svg_output:
+        from .show.svg import create_ts_svg
+
+        svg = create_ts_svg(
+            result, no_ts, arrows=args.arrows or True, context=args.context
+        )
+        with open(args.svg_output, "w") as f:
+            f.write(svg)
+    if args.png_output:
+        print(
+            "png rendering requires an external rasterizer; emit SVG with -s "
+            "and convert (no rasterizer is bundled in this environment)",
+            file=sys.stderr,
+        )
         return 2
     return 0
 

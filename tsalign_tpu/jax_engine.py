@@ -12,6 +12,13 @@ windows, deletion-drift budget bucket), so recompiles are bounded.
 
 from __future__ import annotations
 
+import os
+
+# Persistent compilation cache: the big scan kernels are expensive to
+# compile (notably via remote-compile TPU setups); cache across processes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tsalign_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 from dataclasses import dataclass, field
 from typing import List, Optional
 

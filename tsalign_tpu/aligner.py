@@ -82,6 +82,36 @@ class Aligner:
         allowed_primaries,
         prune_range: bool,
     ) -> Tuple[int, Alignment]:
+        """Returns (cost, alignment).  Under the maximise total-length
+        tie-break (the reference CLI default, align.rs:115-117) the engines
+        run on a K-scaled config with secondary_length_bonus = 1, so path
+        values are K*cost - ts_total_length; minimizing that is the
+        lexicographic (cost, -ts_total_length) optimum."""
+        maximise = self.template_switch_total_length_strategy == "maximise"
+        cfg = self.costs
+        K = 1
+        if maximise:
+            K = 1
+            while K < len(ref_arr) + len(qry_arr) + 2:
+                K *= 2
+            cfg = cfg.scaled_for_length_tiebreak(K)
+        comp, alignment = self._run_engine_raw(
+            cfg, ref_arr, qry_arr, range_, max_ts, allowed_primaries, prune_range
+        )
+        if comp >= INF:
+            return INF, alignment
+        return -(-comp // K), alignment
+
+    def _run_engine_raw(
+        self,
+        cfg,
+        ref_arr,
+        qry_arr,
+        range_,
+        max_ts,
+        allowed_primaries,
+        prune_range: bool,
+    ) -> Tuple[int, Alignment]:
         use_jax = self.engine == "jax" or (
             self.engine == "auto"
             and (len(ref_arr) + len(qry_arr) > 160)
@@ -98,11 +128,11 @@ class Aligner:
                 from .jax_engine import JaxAligner
 
                 return JaxAligner(
-                    self.costs, ref_arr, qry_arr, chunk=self.chunk, **kw
+                    cfg, ref_arr, qry_arr, chunk=self.chunk, **kw
                 ).align_with_traceback()
             except OverflowError:
                 pass  # fall back to the exact int64 numpy engine
-        return DenseAligner(self.costs, ref_arr, qry_arr, **kw).align_with_traceback()
+        return DenseAligner(cfg, ref_arr, qry_arr, **kw).align_with_traceback()
 
     def align(
         self,

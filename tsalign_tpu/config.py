@@ -63,6 +63,13 @@ class TemplateSwitchConfig:
     forward_anti_primary_gap_costs: CostFunction
     reverse_anti_primary_gap_costs: CostFunction
 
+    # When nonzero, every primary-consuming secondary edge (SecondaryMatch /
+    # Substitution / Insertion) is discounted by this amount.  Used by the
+    # maximise-TS-total-length tie-break: costs are scaled by K and the
+    # bonus set to 1, making path values K*cost - ts_total_length
+    # (strategies/template_switch_total_length.rs semantics).
+    secondary_length_bonus: int = 0
+
     @property
     def template_switch_min_length(self) -> int:
         m = self.length_costs.minimum_finite_input()
@@ -187,6 +194,31 @@ class TemplateSwitchConfig:
             out.append(table.display())
         out.append("")
         return "\n".join(out)
+
+    def scaled_for_length_tiebreak(self, factor: int) -> "TemplateSwitchConfig":
+        """K-scaled copy with secondary_length_bonus = 1 (lexicographic
+        (cost, -ts_total_length) optimization in one integer)."""
+        from dataclasses import replace
+
+        base = {
+            k: (v * factor if v < INF else INF) for k, v in self.base_cost.items()
+        }
+        return replace(
+            self,
+            base_cost=base,
+            primary_edit_costs=self.primary_edit_costs.scale(factor),
+            secondary_forward_edit_costs=self.secondary_forward_edit_costs.scale(factor),
+            secondary_reverse_edit_costs=self.secondary_reverse_edit_costs.scale(factor),
+            left_flank_edit_costs=self.left_flank_edit_costs.scale(factor),
+            right_flank_edit_costs=self.right_flank_edit_costs.scale(factor),
+            rq_qr_offset_costs=self.rq_qr_offset_costs.scale(factor),
+            rr_qq_offset_costs=self.rr_qq_offset_costs.scale(factor),
+            length_costs=self.length_costs.scale(factor),
+            length_difference_costs=self.length_difference_costs.scale(factor),
+            forward_anti_primary_gap_costs=self.forward_anti_primary_gap_costs.scale(factor),
+            reverse_anti_primary_gap_costs=self.reverse_anti_primary_gap_costs.scale(factor),
+            secondary_length_bonus=1,
+        )
 
     @classmethod
     def default(cls, alphabet: Alphabet) -> "TemplateSwitchConfig":

@@ -133,6 +133,12 @@ class CostFunction:
                 return False
         return True
 
+    def scale(self, factor: int) -> "CostFunction":
+        """Multiply all finite costs by `factor` (INF saturates)."""
+        return CostFunction(
+            [(x, c * factor if c < INF else INF) for x, c in self.points]
+        )
+
     def finite_window(self) -> Optional[Tuple[int, int]]:
         """Inclusive (lo, hi) span of inputs with finite cost; None if all inf.
 
@@ -238,6 +244,18 @@ class GapAffineCostTable:
             substitution=sub,
             gap_open=np.full(n, gap_open_cost, dtype=np.int64),
             gap_extend=np.full(n, gap_extend_cost, dtype=np.int64),
+        )
+
+    def scale(self, factor: int) -> "GapAffineCostTable":
+        def sc(a):
+            return np.where(a < INF, a * factor, INF)
+
+        return GapAffineCostTable(
+            name=self.name,
+            alphabet=self.alphabet,
+            substitution=sc(self.substitution),
+            gap_open=sc(self.gap_open),
+            gap_extend=sc(self.gap_extend),
         )
 
     def match_or_substitution_cost(self, c1: int, c2: int) -> int:

@@ -30,7 +30,7 @@ from .config import TemplateSwitchConfig
 from .costs import INF
 from .geometry import AlignmentRange
 from .ops.jax_primary import JaxPrimarySweep
-from .ops.jax_modules import JaxKindModule
+from .ops.jax_modules import JaxKindModule, _kind_chunk_step
 from .ops.jaxcommon import (
     DEV_INF,
     from_device_costs,
@@ -196,7 +196,11 @@ class JaxAligner:
         return kinds
 
     def _reentry(self, M, kinds: List[JaxKindModule]):
-        """Entry field extraction + all kind pipelines -> reentry cells."""
+        """Entry field extraction + all kind pipelines -> reentry cells.
+
+        Each kind runs as one jitted chunk-step with a *traced* chunk offset,
+        so all chunks share a single compilation (static per-chunk offsets
+        would compile a separate program per chunk)."""
         A_cells = jnp.min(M[-1], axis=0)  # (n_r+1, n_q+1)
         R_cells = jnp.full((self.n_r + 1, self.n_q + 1), DEV_INF, jnp.int32)
         for km in kinds:
@@ -204,55 +208,27 @@ class JaxAligner:
             A_mod = A_cells if spec.pk == 0 else A_cells.T
             n_anti = spec.n_anti
             C = km.chunk
-            Rk = jnp.full((spec.n_p + 1, n_anti + 1), DEV_INF, jnp.int32)
             n_e = n_anti + 1
-            seed = jnp.asarray(km.seed)
-            lut = jnp.asarray(km.sub_lut)
-            sdo = jnp.asarray(km.sdel_open)
-            sde = jnp.asarray(km.sdel_ext)
-            for e0 in range(0, n_e, C):
-                hi = min(e0 + C, n_e)
-                pad = C - (hi - e0)
-                A_chunk = jax.lax.dynamic_slice(
-                    A_mod, (0, min(e0, n_e - C) if n_e >= C else 0), (spec.n_p + 1, min(C, n_e))
+            if n_e < C:
+                A_mod = jnp.pad(
+                    A_mod, ((0, 0), (0, C - n_e)), constant_values=DEV_INF
                 )
-                if n_e < C:
-                    A_chunk = jnp.pad(
-                        A_chunk, ((0, 0), (0, C - n_e)), constant_values=DEV_INF
-                    )
-                    e_base = 0
-                else:
-                    e_base = min(e0, n_e - C)
-                if spec.same_seq:
-                    sc = lc = dc = ec = jnp.zeros((), jnp.int32)
-                    sc = seed[:1]  # unused dummies with fixed shapes
-                    lc = lut[:, :1]
-                    dc = sdo[:1]
-                    ec = sde[:1]
-                else:
-                    sc = jax.lax.dynamic_slice(seed, (e_base, 0), (min(C, n_e), km.W))
-                    lc = jax.lax.dynamic_slice(
-                        lut, (0, e_base, 0), (lut.shape[0], min(C, n_e), km.W)
-                    )
-                    dc = jax.lax.dynamic_slice(sdo, (e_base, 0), (min(C, n_e), km.W))
-                    ec = jax.lax.dynamic_slice(sde, (e_base, 0), (min(C, n_e), km.W))
-                    if n_e < C:
-                        sc = jnp.pad(sc, ((0, C - n_e), (0, 0)), constant_values=DEV_INF)
-                        lc = jnp.pad(
-                            lc, ((0, 0), (0, C - n_e), (0, 0)), constant_values=DEV_INF
-                        )
-                        dc = jnp.pad(dc, ((0, C - n_e), (0, 0)), constant_values=DEV_INF)
-                        ec = jnp.pad(ec, ((0, C - n_e), (0, 0)), constant_values=DEV_INF)
-                R_pad = km.run(A_chunk, sc, lc, dc, ec)
-                # fold columns j2 = e_base + s_lo + col  into Rk
-                c_lo = e_base + km.s_lo
-                c_hi = e_base + C - 1 + km.s_hi  # inclusive
-                g0 = max(c_lo, 0)
-                g1 = min(c_hi, n_anti - 1)  # strict reentry bound j2 < n_anti
-                if g0 > g1:
-                    continue
-                sl = R_pad[:, g0 - c_lo : g1 - c_lo + 1]
-                Rk = Rk.at[:, g0 : g1 + 1].min(sl)
+            # Rk carried padded so the per-chunk fold is offset-only:
+            # column p of Rk_pad is j2 = p - PAD with PAD = -s_lo (clamped).
+            PAD = max(0, -km.s_lo)
+            width = PAD + n_anti + 1 + max(0, C - 1 + km.s_hi)
+            Rk_pad = jnp.full((spec.n_p + 1, width), DEV_INF, jnp.int32)
+            fixed = km._fixed
+            for e0 in range(0, n_e, C):
+                e_base = np.int32(min(e0, n_e - C) if n_e >= C else 0)
+                Rk_pad = _kind_chunk_step(
+                    A_mod, Rk_pad, fixed, jnp.int32(e_base), st=km._static, PAD=PAD
+                )
+            Rk = jax.lax.dynamic_slice(
+                Rk_pad, (0, PAD), (spec.n_p + 1, n_anti + 1)
+            )
+            # strict reentry bound: j2 = n_anti excluded
+            Rk = Rk.at[:, n_anti].set(DEV_INF)
             if spec.pk == 1:
                 Rk = Rk.T
             R_cells = jnp.minimum(R_cells, Rk)

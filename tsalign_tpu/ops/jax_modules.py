@@ -112,6 +112,7 @@ class _Static(NamedTuple):
     anti_lo: int
     anti_hi: int
     plans: tuple
+    chunk: int
 
 
 class JaxKindModule:
@@ -155,12 +156,21 @@ class JaxKindModule:
         schar = np.where(valid, comp[raw] if spec.dk == 1 else raw, 0)
 
         # (A, n_s+1, W) substitution LUT vs the secondary char at each (b, r).
-        sub_lut = np.where(valid[None], table.substitution[:, schar], INF)
+        bonus = config.secondary_length_bonus
+        sub_lut = np.where(
+            valid[None] & (table.substitution[:, schar] < INF),
+            table.substitution[:, schar] - bonus,
+            INF,
+        )
         self.sub_lut = to_device_costs(sub_lut)
         self.sdel_open = to_device_costs(np.where(valid, table.gap_open[schar], INF))
         self.sdel_ext = to_device_costs(np.where(valid, table.gap_extend[schar], INF))
-        self.pgap_open = to_device_costs(table.gap_open)
-        self.pgap_ext = to_device_costs(table.gap_extend)
+        self.pgap_open = to_device_costs(
+            np.where(table.gap_open < INF, table.gap_open - bonus, INF)
+        )
+        self.pgap_ext = to_device_costs(
+            np.where(table.gap_extend < INF, table.gap_extend - bonus, INF)
+        )
         self.seed = to_device_costs(spec.seed)
 
         n_p, L = spec.n_p, spec.l_max
@@ -268,6 +278,7 @@ class JaxKindModule:
             anti_lo=anti_lo,
             anti_hi=anti_hi,
             plans=self.plans,
+            chunk=self.chunk,
         )
         self._fixed = {
             "seed": jnp.asarray(self.seed),
@@ -294,8 +305,7 @@ class JaxKindModule:
         )
 
 
-@partial(jax.jit, static_argnames=("st",))
-def _kind_impl(A_chunk, seed_chunk, lut_chunk, do_chunk, de_chunk, fixed, *, st):
+def _kind_body(A_chunk, seed_chunk, lut_chunk, do_chunk, de_chunk, fixed, *, st):
     L = st.L
     n_p = st.n_p
     C = A_chunk.shape[1]
@@ -476,21 +486,26 @@ def _band_correction(st, plan: _SegPlan, D3pad, n_p: int, C: int):
     M = jnp.stack(tables)  # (K, band, C, LL)
     Msel = M[ks, np.arange(len(rows))]  # (band, C, LL)
     LLax = D3pad.shape[-1]
-    t = np.arange(LLax)
+    # Index arrays are built from iota + small per-row constant vectors so
+    # only O(band) literals are baked into the program (large literal index
+    # matrices scale with the shapes and bloat compilation).
+    t = jax.lax.broadcasted_iota(jnp.int32, (len(rows), LLax), 1)
+    widths_v = jnp.asarray(widths.astype(np.int32))[:, None]
+    pow_v = jnp.asarray((1 << ks).astype(np.int32))[:, None]
     if plan.positive:
         # end-anchored at t_end: window [t_end - w + 1, t_end]
-        i1 = t[None, :] - widths[:, None] + 1
-        i2 = t[None, :] - (1 << ks)[:, None] + 1
+        i1 = t - widths_v + 1
+        i2 = t - pow_v + 1
     else:
         # start-anchored at t(= s - b): window [t, t + w)
-        i1 = np.broadcast_to(t[None, :], (len(rows), LLax)).copy()
-        i2 = t[None, :] + widths[:, None] - (1 << ks)[:, None]
+        i1 = t
+        i2 = t + widths_v - pow_v
     ok = (i1 >= 0) & (i2 >= 0) & (i2 < LLax) & (i1 < LLax)
-    i1c = np.clip(i1, 0, LLax - 1)
-    i2c = np.clip(i2, 0, LLax - 1)
-    v1 = jnp.take_along_axis(Msel, jnp.asarray(i1c)[:, None, :], axis=-1)
-    v2 = jnp.take_along_axis(Msel, jnp.asarray(i2c)[:, None, :], axis=-1)
-    bq = jnp.where(jnp.asarray(ok)[:, None, :], jnp.minimum(v1, v2), DEV_INF)
+    i1c = jnp.clip(i1, 0, LLax - 1)
+    i2c = jnp.clip(i2, 0, LLax - 1)
+    v1 = jnp.take_along_axis(Msel, i1c[:, None, :], axis=-1)
+    v2 = jnp.take_along_axis(Msel, i2c[:, None, :], axis=-1)
+    bq = jnp.where(ok[:, None, :], jnp.minimum(v1, v2), DEV_INF)
     if not plan.positive:
         # caller indexes all bands at t_end = s - a; shift start-anchored
         # values right by (b - a) so bq[t_end] == value at start s - b.
@@ -499,3 +514,34 @@ def _band_correction(st, plan: _SegPlan, D3pad, n_p: int, C: int):
         if shift:
             bq = jnp.concatenate([pad, bq[..., : LLax - shift]], axis=-1)
     return (b0, b1, bq)
+
+
+@partial(jax.jit, static_argnames=("st", "PAD"))
+def _kind_chunk_step(A_mod, Rk_pad, fixed, e_base, *, st, PAD):
+    """One e-chunk of a kind's pipeline with a traced chunk offset: slice the
+    entry field and per-e tables at e_base, run the module + assembly, and
+    min-fold the resulting slab into the padded reentry accumulator at
+    columns PAD + e_base + s_lo."""
+    C = st.chunk
+    A_chunk = jax.lax.dynamic_slice(A_mod, (0, e_base), (st.n_p + 1, C))
+    if st.same_seq:
+        sc = fixed["seed"][:1]
+        lc = fixed["lut"][:, :1]
+        dc = fixed["sdo"][:1]
+        ec = fixed["sde"][:1]
+    else:
+        sc = jax.lax.dynamic_slice(fixed["seed"], (e_base, 0), (C, st.W))
+        lc = jax.lax.dynamic_slice(
+            fixed["lut"], (0, e_base, 0), (fixed["lut"].shape[0], C, st.W)
+        )
+        dc = jax.lax.dynamic_slice(fixed["sdo"], (e_base, 0), (C, st.W))
+        ec = jax.lax.dynamic_slice(fixed["sde"], (e_base, 0), (C, st.W))
+    R_pad = _kind_body(A_chunk, sc, lc, dc, ec, fixed, st=st)
+    # fold: R_pad column c is j2 = e_base + s_lo + c -> Rk_pad col PAD + e_base + s_lo + c
+    start = PAD + e_base + st.s_lo
+    cur = jax.lax.dynamic_slice(
+        Rk_pad, (0, start), (Rk_pad.shape[0], R_pad.shape[1])
+    )
+    return jax.lax.dynamic_update_slice(
+        Rk_pad, jnp.minimum(cur, R_pad), (0, start)
+    )

@@ -246,9 +246,12 @@ class ModuleSweep:
         # Gap costs for consuming the secondary char at state r.
         self.sdel_open = np.where(valid, table.gap_open[schar], INF)
         self.sdel_ext = np.where(valid, table.gap_extend[schar], INF)
-        self.sub_table = table.substitution
-        self.pgap_open = table.gap_open
-        self.pgap_ext = table.gap_extend
+        bonus = config.secondary_length_bonus
+        self.sub_table = np.where(
+            table.substitution < INF, table.substitution - bonus, INF
+        )
+        self.pgap_open = np.where(table.gap_open < INF, table.gap_open - bonus, INF)
+        self.pgap_ext = np.where(table.gap_extend < INF, table.gap_extend - bonus, INF)
         self.mask = mask
         self.W = W
 

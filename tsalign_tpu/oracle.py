@@ -235,6 +235,7 @@ class OracleAligner:
             length = p_idx - entrance_primary
             table = cfg.secondary_edit_costs(_DK[dk])
 
+            bonus = cfg.secondary_length_bonus
             min_future_length_cost = cfg.length_costs.min_from(length)
             if min_future_length_cost is not None and min_future_length_cost < INF:
                 sec_ok = s_idx < len(secondary_seq) if dk == 0 else s_idx > 0
@@ -245,6 +246,7 @@ class OracleAligner:
                     else:
                         s = int(self.comp[int(secondary_seq[s_idx - 1])])
                     c = self._sub(table, p, s)
+                    c = c - bonus if c < INF else c
                     edge = "SecondaryMatch" if p == s else "SecondarySubstitution"
                     ns = s_idx + 1 if dk == 0 else s_idx - 1
                     emit(c, ("S", ei, ej, pk, sk, dk, p_idx + 1, ns, GAP_NONE), edge)
@@ -259,6 +261,7 @@ class OracleAligner:
                 if p_idx < len(primary_seq):
                     p = int(primary_seq[p_idx])
                     c = self._gap(table, p, gap_type != GAP_INS)
+                    c = c - bonus if c < INF else c
                     emit(c, ("S", ei, ej, pk, sk, dk, p_idx + 1, s_idx, GAP_INS), "SecondaryInsertion")
 
             # Initial exit (context.rs:622-633)

@@ -198,11 +198,13 @@ def price_alignment(
                         return None
                     return int(comp[int(secondary_seq[s_idx - 1])])
 
+                bonus = cfg.secondary_length_bonus
                 if t in (at.SECONDARY_MATCH, at.SECONDARY_SUBSTITUTION):
                     s = schar()
                     if s is None or p_idx >= len(primary_seq):
                         return INF
                     c = sub_cost(table, int(primary_seq[p_idx]), s)
+                    c = c - bonus if c < INF else c
                     p_idx += 1
                     s_idx += 1 if dk == 0 else -1
                     ts_len += 1
@@ -218,6 +220,7 @@ def price_alignment(
                     if p_idx >= len(primary_seq):
                         return INF
                     c = table.gap_cost(int(primary_seq[p_idx]), gap != GAP_INS)
+                    c = c - bonus if c < INF else c
                     p_idx += 1
                     ts_len += 1
                     gap = GAP_INS

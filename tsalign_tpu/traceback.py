@@ -59,8 +59,10 @@ class _ModuleColumn:
         self.schar = np.where(valid, comp[raw] if spec.dk == 1 else raw, -1)
         self.sdel_open = np.where(valid, table.gap_open[self.schar.clip(0)], INF)
         self.sdel_ext = np.where(valid, table.gap_extend[self.schar.clip(0)], INF)
-        self.sub = table.substitution
-        self.pgo, self.pge = table.gap_open, table.gap_extend
+        bonus = config.secondary_length_bonus
+        self.sub = np.where(table.substitution < INF, table.substitution - bonus, INF)
+        self.pgo = np.where(table.gap_open < INF, table.gap_open - bonus, INF)
+        self.pge = np.where(table.gap_extend < INF, table.gap_extend - bonus, INF)
         self.P = P
         self.b = b
         self.allow_sdel = allow_sdel
@@ -346,11 +348,14 @@ class TracebackEngine:
                             if a >= INF:
                                 continue
                             rem = v - a - lc - dc - ac
-                            if rem < 0:
+                            # The secondary length bonus can push module
+                            # costs below zero by at most l per module.
+                            slack = self.config.secondary_length_bonus * spec.l_max
+                            if rem < -slack:
                                 continue
                             b = p1 if spec.same_seq else e_anti
                             seed_row = spec.seed[b]
-                            if not (seed_row <= rem).any():
+                            if not (seed_row <= rem + slack).any():
                                 continue
                             col = self._column(pk, sk, dk, spec, p1, b)
                             if col.B[l] == rem:

@@ -4,9 +4,14 @@ reference solves in 69.62 s single-core (test_files/twin_heli_MDC1-AS1_10.toml
 statistics block; BASELINE.md).
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The measurement runs in a child process with a hard timeout and one retry:
+the TPU relay in this environment occasionally wedges on compile bursts, and
+a wedged child must be replaced, not waited on.
 """
 
 import json
+import multiprocessing as mp
 import os
 import sys
 import time
@@ -19,43 +24,74 @@ BASELINE_SECONDS = 69.622919049
 GOLDEN_COST = 24
 
 
-def main():
+def _measure(q):
     with open(GOLDEN, "rb") as f:
         g = tomllib.load(f)
-    ref_s = g["sequences"]["reference"]
-    qry_s = g["sequences"]["query"]
-
     from tsalign_tpu.alphabet import get_alphabet
     from tsalign_tpu.config import TemplateSwitchConfig
+    from tsalign_tpu.jax_engine import JaxAligner
 
     al = get_alphabet("dna-n")
     cfg = TemplateSwitchConfig.from_path(
         "/root/reference/sample_tsa_config/config.tsa", al
     )
-    ref = al.encode(ref_s.upper())
-    qry = al.encode(qry_s.upper())
-
-    from tsalign_tpu.jax_engine import JaxAligner
+    ref = al.encode(g["sequences"]["reference"].upper())
+    qry = al.encode(g["sequences"]["query"].upper())
 
     def run():
         return JaxAligner(cfg, ref, qry, chunk=64, keep_fields=False).align()
 
-    # warmup (compiles cached afterwards)
-    res = run()
+    res = run()  # cold (compiles; server-side cache persists across runs)
     t0 = time.monotonic()
     res = run()
     wall = time.monotonic() - t0
+    q.put({"cost": res.cost, "wall": wall})
 
-    ok = res.cost == GOLDEN_COST
-    out = {
-        "metric": "twin_heli_MDC1-AS1_10_ts_align_wall",
-        "value": round(wall, 4),
-        "unit": "s",
-        "vs_baseline": round(BASELINE_SECONDS / wall, 2),
-        "cost": res.cost,
-        "cost_ok": ok,
-    }
-    print(json.dumps(out))
+
+def main():
+    result = None
+    for attempt in range(3):
+        q = mp.Queue()
+        p = mp.Process(target=_measure, args=(q,))
+        p.start()
+        p.join(timeout=1500 if attempt == 0 else 900)
+        if p.is_alive():
+            p.kill()
+            p.join()
+            time.sleep(90)  # give the relay time to recover
+            continue
+        if not q.empty():
+            result = q.get()
+            break
+        time.sleep(60)
+
+    if result is None:
+        print(
+            json.dumps(
+                {
+                    "metric": "twin_heli_MDC1-AS1_10_ts_align_wall",
+                    "value": None,
+                    "unit": "s",
+                    "vs_baseline": None,
+                    "error": "TPU unavailable/wedged after retries",
+                }
+            )
+        )
+        return
+
+    wall = result["wall"]
+    print(
+        json.dumps(
+            {
+                "metric": "twin_heli_MDC1-AS1_10_ts_align_wall",
+                "value": round(wall, 4),
+                "unit": "s",
+                "vs_baseline": round(BASELINE_SECONDS / wall, 2),
+                "cost": result["cost"],
+                "cost_ok": result["cost"] == GOLDEN_COST,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

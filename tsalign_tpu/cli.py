@@ -125,8 +125,7 @@ def cmd_align(args) -> int:
         rng = _parse_rq_ranges(args.rq_ranges)
 
     if args.alignment_method == "a-star-chain-ts":
-        print("a-star-chain-ts: not yet implemented in this build", file=sys.stderr)
-        return 2
+        return _cmd_align_chain(args, config, ref_rec, qry_rec)
     if args.alignment_method == "matrix":
         return _cmd_align_matrix(args, config, ref_rec, qry_rec)
 
@@ -157,6 +156,49 @@ def cmd_align(args) -> int:
     if result.has_target():
         print(f"cigar: {result.cigar()}")
     print(f"duration_seconds: {stats['duration_seconds']:.3f}")
+    return 0
+
+
+def _cmd_align_chain(args, config, ref_rec, qry_rec) -> int:
+    """Long-sequence chained mode (lib_ts_chainalign counterpart)."""
+    from .aligner import TSPairwiseAlignment
+    from .chain import chain_align
+    from .result import AlignmentResult, AStarResultInfo
+
+    al = config.alphabet
+    ref = al.encode(ref_rec.sequence)
+    qry = al.encode(qry_rec.sequence)
+    res = chain_align(
+        config,
+        ref,
+        qry,
+        max_template_switches=args.max_template_switches,
+        engine=args.engine,
+        progress=args.log_level in ("debug", "trace"),
+    )
+    info = AStarResultInfo(type="FoundTarget", cost=res.cost)
+    out = AlignmentResult.new(
+        alignment=res.alignment,
+        reference=ref_rec.sequence,
+        query=qry_rec.sequence,
+        reference_rc=al.reverse_complement_str(ref_rec.sequence),
+        query_rc=al.reverse_complement_str(qry_rec.sequence),
+        reference_name=ref_rec.id,
+        query_name=qry_rec.id,
+        reference_offset=0,
+        query_offset=0,
+        result=info,
+        duration_seconds=res.duration_seconds,
+        opened_nodes=res.anchors,
+        closed_nodes=res.segments,
+        suboptimal_opened_nodes=0,
+    )
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(out.to_toml())
+    print(f"cost: {res.cost}")
+    print(f"segments: {res.segments}  anchors: {res.anchors}")
+    print(f"duration_seconds: {res.duration_seconds:.3f}")
     return 0
 
 
@@ -220,8 +262,63 @@ def cmd_show(args) -> int:
 
 
 def cmd_preprocess(args) -> int:
-    print("preprocess: not yet implemented in this build", file=sys.stderr)
-    return 2
+    """Precompute and cache chained-mode planning for a config.
+
+    Counterpart of `tsalign preprocess` (tsalign/src/preprocess.rs): the
+    reference caches chaining lower bounds in sha1-keyed `.tsc` files
+    (tsalign/src/util.rs:46-66).  The dense chained mode derives its
+    planning (TSM locality radius, k ladder, kind windows) directly from
+    the config; this command materializes that planning into a
+    config-hashed cache file so `align --alignment-method a-star-chain-ts`
+    runs (and the operator) can inspect and reuse it.
+    """
+    import hashlib
+    import json as _json
+    import os as _os
+
+    from .chain.anchors import choose_k
+    from .chain.driver import _window_radius
+    from .ops.tsm_modules import make_kind_spec
+
+    al = get_alphabet("dna-n")
+    config = TemplateSwitchConfig.from_path(
+        f"{args.configuration_directory}/config.tsa", al
+    )
+    digest = hashlib.sha1(config.display().encode()).hexdigest()
+    radius = _window_radius(config)
+    ladder = {}
+    max_n = args.max_n or (1 << 18)
+    n = max_n
+    while n >= 64:
+        k = args.k or choose_k(2 * n)
+        kinds = []
+        for pk in (0, 1):
+            for sk in (0, 1):
+                for dk in (0, 1):
+                    spec = make_kind_spec(config, n, n, pk, sk, dk, sdel_budget=64)
+                    if spec is not None:
+                        kinds.append(
+                            {
+                                "pk": pk,
+                                "sk": sk,
+                                "dk": dk,
+                                "min_len": spec.min_len,
+                                "l_max": spec.l_max,
+                                "r_window": [spec.r_lo, spec.r_hi],
+                            }
+                        )
+        ladder[str(n)] = {"k": k, "kinds": len(kinds)}
+        n //= 2
+    payload = {
+        "config_sha1": digest,
+        "window_radius": radius,
+        "ladder": ladder,
+    }
+    path = _os.path.join(args.cache_directory, f"{digest}-plan.tsc.json")
+    with open(path, "w") as f:
+        _json.dump(payload, f, indent=1)
+    print(f"wrote {path} (radius {radius})")
+    return 0
 
 
 def main(argv=None) -> int:

@@ -134,7 +134,7 @@ class JaxAligner:
             )
         return self._sweeps[climb]
 
-    def _root_seeds(self) -> jnp.ndarray:
+    def _root_seeds_host(self) -> np.ndarray:
         cfg = self.config
         F = cfg.left_flank_length + cfg.right_flank_length + 1
         seeds = np.full((F, 3, self.n_r + 1, self.n_q + 1), INF, dtype=np.int64)
@@ -144,10 +144,10 @@ class JaxAligner:
             self.range.reference_offset,
             self.range.query_offset,
         ] = 0
-        return jnp.asarray(to_device_costs(seeds))
+        return seeds
 
-    def _target_cost(self, M) -> int:
-        v = int(M[:, :, self.range.reference_limit, self.range.query_limit].min())
+    def _target_cost(self, M_host: np.ndarray) -> int:
+        v = int(M_host[:, :, self.range.reference_limit, self.range.query_limit].min())
         return INF if v >= int(DEV_INF) // 2 else v
 
     def _sdel_budget(self, upper_bound: int) -> Optional[int]:
@@ -195,14 +195,17 @@ class JaxAligner:
                         kinds.append(km)
         return kinds
 
-    def _reentry(self, M, kinds: List[JaxKindModule]):
+    def _reentry(self, M_host: np.ndarray, kinds: List[JaxKindModule]):
         """Entry field extraction + all kind pipelines -> reentry cells.
 
         Each kind runs as one jitted chunk-step with a *traced* chunk offset,
-        so all chunks share a single compilation (static per-chunk offsets
-        would compile a separate program per chunk)."""
-        A_cells = jnp.min(M[-1], axis=0)  # (n_r+1, n_q+1)
-        R_cells = jnp.full((self.n_r + 1, self.n_q + 1), DEV_INF, jnp.int32)
+        so all chunks share a single compilation.  All glue (entry-field
+        extraction, reentry folding, transposes) runs on the host: ad-hoc
+        eager device ops each cost a separate (remote) compilation and the
+        gather-style ones proved pathological.
+        """
+        A_cells = M_host[-1].min(axis=0).astype(np.int32)  # (n_r+1, n_q+1)
+        R_cells = np.full((self.n_r + 1, self.n_q + 1), int(DEV_INF), np.int32)
         for km in kinds:
             spec = km.spec
             A_mod = A_cells if spec.pk == 0 else A_cells.T
@@ -210,11 +213,10 @@ class JaxAligner:
             C = km.chunk
             n_e = n_anti + 1
             if n_e < C:
-                A_mod = jnp.pad(
-                    A_mod, ((0, 0), (0, C - n_e)), constant_values=DEV_INF
+                A_mod = np.pad(
+                    A_mod, ((0, 0), (0, C - n_e)), constant_values=int(DEV_INF)
                 )
-            # Rk carried padded so the per-chunk fold is offset-only:
-            # column p of Rk_pad is j2 = p - PAD with PAD = -s_lo (clamped).
+            A_dev = jnp.asarray(np.ascontiguousarray(A_mod))
             PAD = max(0, -km.s_lo)
             width = PAD + n_anti + 1 + max(0, C - 1 + km.s_hi)
             Rk_pad = jnp.full((spec.n_p + 1, width), DEV_INF, jnp.int32)
@@ -222,41 +224,44 @@ class JaxAligner:
             for e0 in range(0, n_e, C):
                 e_base = np.int32(min(e0, n_e - C) if n_e >= C else 0)
                 Rk_pad = _kind_chunk_step(
-                    A_mod, Rk_pad, fixed, jnp.int32(e_base), st=km._static, PAD=PAD
+                    A_dev, Rk_pad, fixed, jnp.int32(e_base), st=km._static, PAD=PAD
                 )
-            Rk = jax.lax.dynamic_slice(
-                Rk_pad, (0, PAD), (spec.n_p + 1, n_anti + 1)
-            )
-            # strict reentry bound: j2 = n_anti excluded
-            Rk = Rk.at[:, n_anti].set(DEV_INF)
+            Rk = np.array(Rk_pad)[:, PAD : PAD + n_anti + 1]
+            Rk[:, n_anti] = int(DEV_INF)  # strict reentry bound: j2 < n_anti
             if spec.pk == 1:
                 Rk = Rk.T
-            R_cells = jnp.minimum(R_cells, Rk)
+            np.minimum(R_cells, Rk, out=R_cells)
         return R_cells
 
-    def _as_seeds(self, R_cells) -> jnp.ndarray:
+    def _as_seeds(self, R_cells: np.ndarray) -> np.ndarray:
         cfg = self.config
         F = cfg.left_flank_length + cfg.right_flank_length + 1
-        seeds = jnp.full(
-            (F, 3, self.n_r + 1, self.n_q + 1), DEV_INF, jnp.int32
+        seeds = np.full(
+            (F, 3, self.n_r + 1, self.n_q + 1), int(DEV_INF), np.int32
         )
-        return seeds.at[0, GAP_NONE].set(R_cells)
+        seeds[0, GAP_NONE] = R_cells
+        return seeds
+
+    def _sweep_host(self, seeds_host: np.ndarray, climb: bool) -> np.ndarray:
+        """Run the device sweep from host seeds, returning the host field."""
+        M = self._get_sweep(climb).sweep(jnp.asarray(seeds_host))
+        return np.asarray(M)
 
     def align(self) -> JaxEngineResult:
-        root = self._root_seeds()
+        root = np.asarray(to_device_costs(self._root_seeds_host()))
         t = self.max_ts
         res = JaxEngineResult(cost=INF, rounds=0)
 
-        def keep(M):
+        def keep(M_host):
             if self.keep_fields:
-                res.primary_fields.append(from_device_costs(np.asarray(M)))
+                res.primary_fields.append(from_device_costs(M_host))
 
-        def keepR(R):
+        def keepR(R_host):
             if self.keep_fields:
-                res.reentry_fields.append(from_device_costs(np.asarray(R)))
+                res.reentry_fields.append(from_device_costs(R_host))
 
         if t is not None:
-            M = self._get_sweep(0 < t).sweep(root)
+            M = self._sweep_host(root, 0 < t)
             keep(M)
             best = self._target_cost(M)
             if t == 0:
@@ -268,14 +273,14 @@ class JaxAligner:
             for c in range(1, t + 1):
                 R = self._reentry(M, kinds)
                 keepR(R)
-                seeds = jnp.minimum(root, self._as_seeds(R))
-                M = self._get_sweep(c < t).sweep(seeds)
+                seeds = np.minimum(root, self._as_seeds(R))
+                M = self._sweep_host(seeds, c < t)
                 keep(M)
                 best = min(best, self._target_cost(M))
             res.cost, res.rounds = best, t + 1
             return res
 
-        M = self._get_sweep(True).sweep(root)
+        M = self._sweep_host(root, True)
         keep(M)
         best = self._target_cost(M)
         budget = self._sdel_budget(best)
@@ -284,11 +289,11 @@ class JaxAligner:
         for k in range(1, self.max_rounds + 1):
             R = self._reentry(M, kinds)
             keepR(R)
-            seeds = jnp.minimum(root, self._as_seeds(R))
-            M_next = self._get_sweep(True).sweep(seeds)
+            seeds = np.minimum(root, self._as_seeds(R))
+            M_next = self._sweep_host(seeds, True)
             keep(M_next)
             best = min(best, self._target_cost(M_next))
-            if bool(jnp.array_equal(M_next, M)):
+            if np.array_equal(M_next, M):
                 res.cost, res.rounds = best, k + 1
                 return res
             M = M_next

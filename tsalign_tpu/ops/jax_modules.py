@@ -50,6 +50,16 @@ _DK = ("Forward", "Reverse")
 _PK = ("Reference", "Query")
 
 
+def _pallas_default() -> bool:
+    """Use the Pallas module kernel on real TPU backends (the CPU backend
+    would need interpret mode, which is slower than the XLA scan)."""
+    try:
+        plat = jax.default_backend()
+    except Exception:
+        return False
+    return plat not in ("cpu",)
+
+
 def _finite_segments(fn: CostFunction, lo: int, hi: int) -> List[Tuple[int, int, int]]:
     """Maximal constant finite segments [(a, b, cost)] of fn over [lo, hi],
     split so that no segment contains 0 (ldiff = 0 is priced separately)."""
@@ -113,6 +123,7 @@ class _Static(NamedTuple):
     anti_hi: int
     plans: tuple
     chunk: int
+    use_pallas: bool
 
 
 class JaxKindModule:
@@ -279,6 +290,7 @@ class JaxKindModule:
             anti_hi=anti_hi,
             plans=self.plans,
             chunk=self.chunk,
+            use_pallas=_pallas_default() and not spec.same_seq,
         )
         self._fixed = {
             "seed": jnp.asarray(self.seed),
@@ -328,6 +340,31 @@ def _kind_body(A_chunk, seed_chunk, lut_chunk, do_chunk, de_chunk, fixed, *, st)
         sdo, sde = do_chunk, de_chunk  # (C, W)
 
     fwd = st.dk == 0
+
+    if not st.same_seq and st.use_pallas:
+        from .pallas_module import module_scan_pallas
+
+        A_alpha = lut.shape[0]
+        pchar_l = fixed["pchar_l"]
+        pmask_l = fixed["pmask_l"]
+        io_l = jnp.minimum(fixed["pgo"][pchar_l] + pmask_l, DEV_INF)
+        ie_l = jnp.minimum(fixed["pge"][pchar_l] + pmask_l, DEV_INF)
+        seedT = sat_add(A_chunk[:, :, None], seed_chunk[None, :, :])
+        B = module_scan_pallas(
+            seedT,
+            lut,
+            sdo,
+            sde,
+            pchar_l,
+            pmask_l,
+            io_l,
+            ie_l,
+            L=L,
+            A=A_alpha,
+            fwd=fwd,
+            allow_sdel=st.allow_sdel,
+        )
+        return _assembly(B, A_chunk, fixed, st)
 
     def close(T):
         if not st.allow_sdel:
@@ -386,8 +423,13 @@ def _kind_body(A_chunk, seed_chunk, lut_chunk, do_chunk, de_chunk, fixed, *, st)
     T_last = close(T_last)
     B_last = jnp.min(jnp.min(T_last, axis=0), axis=-1)
     B = jnp.concatenate([B, B_last[None]], axis=0)  # (L+1, n_b[, C])
+    return _assembly(B, A_chunk, fixed, st)
 
-    # ---- assembly --------------------------------------------------------
+
+def _assembly(B, A_chunk, fixed, st):
+    L = st.L
+    n_p = st.n_p
+    C = A_chunk.shape[1]
     # D3pl[p1, e, l] = entry + module + length(l)
     if st.same_seq:
         D3 = sat_add(A_chunk[:, :, None], jnp.moveaxis(B, 0, -1)[:, None, :])

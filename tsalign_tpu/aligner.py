@@ -239,6 +239,15 @@ class TSPairwiseAlignment:
     def to_toml(self) -> str:
         return self.result.to_toml()
 
+    def viz_template_switches(self) -> None:
+        """Print the per-TSM plain-text view to stdout
+        (python_bindings/src/lib.rs:45-50 parity)."""
+        import sys
+
+        from .show.plain_text import show_template_switches
+
+        show_template_switches(sys.stdout, self.result)
+
 
 def align(
     reference: str,

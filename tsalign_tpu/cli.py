@@ -128,12 +128,15 @@ def cmd_align(args) -> int:
         return _cmd_align_chain(args, config, ref_rec, qry_rec)
     if args.alignment_method == "matrix":
         return _cmd_align_matrix(args, config, ref_rec, qry_rec)
+    if args.alignment_method == "a-star-gap-affine":
+        return _cmd_align_gap_affine(args, config, ref_rec, qry_rec)
 
     aligner = Aligner(
         costs=config,
         alphabet=args.alphabet,
+        template_switch_total_length_strategy=args.ts_total_length_strategy,
         template_switch_descendant_strategy=args.ts_descendant_strategy,
-        no_ts=args.no_ts or args.alignment_method == "a-star-gap-affine",
+        no_ts=args.no_ts,
         engine=args.engine,
     )
     result = aligner.align(
@@ -204,31 +207,97 @@ def _cmd_align_chain(args, config, ref_rec, qry_rec) -> int:
 
 def _cmd_align_matrix(args, config, ref_rec, qry_rec) -> int:
     """Dense Needleman-Wunsch cost (reference `--alignment-method matrix`,
-    alignment_matrix.rs:40-78: cost only, no traceback output)."""
+    alignment_matrix.rs:40-78): costs come from `<dir>/matrix.toml`
+    (match_cost, substitution_cost, indel_cost — align.rs:446-471), output
+    is the cost only, and -o is rejected like the reference."""
+    import tomllib
+
     import numpy as np
 
+    if args.output:
+        print(
+            "Outputting statistics not supported by matrix alignment",
+            file=sys.stderr,
+        )
+        return 2
+    mc, sc, ic = 0, 2, 3
+    if args.configuration_directory:
+        try:
+            with open(f"{args.configuration_directory}/matrix.toml", "rb") as f:
+                m = tomllib.load(f)
+            mc, sc, ic = m["match_cost"], m["substitution_cost"], m["indel_cost"]
+        except FileNotFoundError:
+            pass
     al = config.alphabet
     ref = al.encode(ref_rec.sequence)
     qry = al.encode(qry_rec.sequence)
-    t0 = time.monotonic()
-    sub = config.primary_edit_costs.substitution
-    go = config.primary_edit_costs.gap_open
-    # The reference matrix method is linear-gap NW using gap open costs.
     n, m = len(ref), len(qry)
-    row = np.zeros(m + 1, dtype=np.int64)
-    for j in range(1, m + 1):
-        row[j] = row[j - 1] + go[qry[j - 1]]
+    row = np.arange(m + 1, dtype=np.int64) * ic
     for i in range(1, n + 1):
-        prev_diag = row[0]
-        row[0] += go[ref[i - 1]]
-        for j in range(1, m + 1):
-            d = prev_diag + sub[ref[i - 1], qry[j - 1]]
-            u = row[j] + go[ref[i - 1]]
-            l = row[j - 1] + go[qry[j - 1]]
-            prev_diag = row[j]
-            row[j] = min(d, u, l)
-    print(f"cost: {row[m]}")
-    print(f"duration_seconds: {time.monotonic() - t0:.3f}")
+        diag = row.copy()
+        row[0] = i * ic
+        match_line = np.where(ref[i - 1] == qry, mc, sc) + diag[:m]
+        cur = row
+        prev = diag
+        # vectorized: row[j] = min(diag[j-1]+sub, row[j]+ic prefix recurrence)
+        up = prev[1:] + ic
+        cand = np.minimum(match_line, up)
+        # left-dependency solved with a prefix scan
+        from tsalign_tpu.ops.primary_sweep import min_plus_scan
+
+        ext = np.full(m, ic, dtype=np.int64)
+        chained = min_plus_scan(
+            np.concatenate([[row[0]], cand]), np.concatenate([[0], ext])
+        )
+        row[1:] = np.minimum(cand, chained[1:])
+        row[0] = i * ic
+    print(f"Cost: {row[m]}")
+    return 0
+
+
+def _cmd_align_gap_affine(args, config, ref_rec, qry_rec) -> int:
+    """Standalone gap-affine method (reference --alignment-method
+    a-star-gap-affine, align.rs:473-514): base-agnostic costs from
+    `<dir>/a_star_gap_affine.toml`, full TOML output supported."""
+    import tomllib
+
+    from .aligner import Aligner
+    from .costs import GapAffineCostTable
+
+    cfg = config
+    if args.configuration_directory:
+        try:
+            with open(
+                f"{args.configuration_directory}/a_star_gap_affine.toml", "rb"
+            ) as f:
+                g = tomllib.load(f)
+            from dataclasses import replace
+
+            table = GapAffineCostTable.base_agnostic(
+                "Primary Edit Costs",
+                config.alphabet,
+                g["match_cost"],
+                g["substitution_cost"],
+                g["gap_open_cost"],
+                g["gap_extend_cost"],
+            )
+            cfg = replace(config, primary_edit_costs=table)
+        except FileNotFoundError:
+            pass
+    aligner = Aligner(costs=cfg, alphabet=args.alphabet, no_ts=True, engine=args.engine)
+    result = aligner.align(
+        ref_rec.sequence,
+        qry_rec.sequence,
+        reference_name=ref_rec.id,
+        query_name=qry_rec.id,
+        cost_limit=args.cost_limit,
+    )
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(result.to_toml())
+    print(f"cost: {int(result.stats()['cost'])}")
+    if result.has_target():
+        print(f"cigar: {result.cigar()}")
     return 0
 
 

@@ -30,7 +30,7 @@ from .config import TemplateSwitchConfig
 from .costs import INF
 from .geometry import AlignmentRange
 from .ops.jax_primary import JaxPrimarySweep
-from .ops.jax_modules import JaxKindModule, _kind_chunk_step
+from .ops.jax_modules import JaxKindModule, _kind_chunk_step, _same_module_jit
 from .ops.jaxcommon import (
     DEV_INF,
     from_device_costs,
@@ -221,10 +221,15 @@ class JaxAligner:
             width = PAD + n_anti + 1 + max(0, C - 1 + km.s_hi)
             Rk_pad = jnp.full((spec.n_p + 1, width), DEV_INF, jnp.int32)
             fixed = km._fixed
+            if spec.same_seq:
+                B_pre = _same_module_jit(fixed, st=km._static)
+            else:
+                B_pre = jnp.zeros((1, 1), jnp.int32)
             for e0 in range(0, n_e, C):
                 e_base = np.int32(min(e0, n_e - C) if n_e >= C else 0)
                 Rk_pad = _kind_chunk_step(
-                    A_dev, Rk_pad, fixed, jnp.int32(e_base), st=km._static, PAD=PAD
+                    A_dev, Rk_pad, fixed, jnp.int32(e_base), B_pre,
+                    st=km._static, PAD=PAD
                 )
             Rk = np.array(Rk_pad)[:, PAD : PAD + n_anti + 1]
             Rk[:, n_anti] = int(DEV_INF)  # strict reentry bound: j2 < n_anti

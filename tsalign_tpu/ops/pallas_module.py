@@ -64,10 +64,10 @@ def _module_kernel(
     lut_ref,  # (A, C, W) match/sub cost vs the secondary char at each (e, r)
     sdo_ref,  # (C, W) secondary-deletion open
     sde_ref,  # (C, W) secondary-deletion extend
-    pchar_ref,  # (L, BP) per-level primary char (alphabet index, 0 if invalid)
-    pmask_ref,  # (L, BP) 0 where the level's primary char is valid, INF else
-    io_ref,  # (L, BP) secondary-insertion open (pchar keyed, INF-masked)
-    ie_ref,  # (L, BP) secondary-insertion extend
+    pchar_ref,  # (BP, L) per-level primary char (alphabet index, 0 if invalid)
+    pmask_ref,  # (BP, L) 0 where the level's primary char is valid, INF else
+    io_ref,  # (BP, L) secondary-insertion open (pchar keyed, INF-masked)
+    ie_ref,  # (BP, L) secondary-insertion extend
     out_ref,  # (L+1, BP, C) per-level exit minima
     *,
     L: int,
@@ -94,15 +94,15 @@ def _module_kernel(
         Td = close(Tn, Ti, Td)
         emit = jnp.min(jnp.minimum(jnp.minimum(Tn, Ti), Td), axis=-1)
         out_ref[pl.ds(lvl, 1)] = emit[None]
-        pchar = pchar_ref[pl.ds(lvl, 1)][0]  # (BP,)
-        pmask = pmask_ref[pl.ds(lvl, 1)][0][:, None, None]
+        pchar = pchar_ref[:, pl.ds(lvl, 1)][:, 0]  # (BP,)
+        pmask = pmask_ref[:, pl.ds(lvl, 1)][:, 0][:, None, None]
         # select the level's match/sub costs from the LUT by primary char
         sub = jnp.full((BP, C, W), DEV_INF, jnp.int32)
         for a in range(A):
             sub = jnp.where((pchar == a)[:, None, None], lut[a][None], sub)
         sub = jnp.minimum(sub + pmask, DEV_INF)
-        io = io_ref[pl.ds(lvl, 1)][0][:, None, None]
-        ie = ie_ref[pl.ds(lvl, 1)][0][:, None, None]
+        io = io_ref[:, pl.ds(lvl, 1)][:, 0][:, None, None]
+        ie = ie_ref[:, pl.ds(lvl, 1)][:, 0][:, None, None]
         src_any = jnp.minimum(jnp.minimum(Tn, Ti), Td)
         diag = jnp.minimum(src_any + sub, DEV_INF)
         Tn_next = _shift_last(diag, 1, fwd)
@@ -131,7 +131,7 @@ def module_scan_pallas(
     lut,  # (A, C, W)
     sdo,  # (C, W)
     sde,  # (C, W)
-    pchar,  # (L, NB) int32
+    pchar,  # (L, NB) int32 (transposed internally for TPU block tiling)
     pmask,  # (L, NB) 0 valid / DEV_INF invalid
     io,  # (L, NB)
     ie,  # (L, NB)
@@ -154,6 +154,10 @@ def module_scan_pallas(
         pmask = jnp.pad(pmask, ((0, 0), (0, pad)), constant_values=DEV_INF)
         io = jnp.pad(io, ((0, 0), (0, pad)), constant_values=DEV_INF)
         ie = jnp.pad(ie, ((0, 0), (0, pad)), constant_values=DEV_INF)
+    pchar_t = pchar.T
+    pmask_t = pmask.T
+    io_t = io.T
+    ie_t = ie.T
 
     out = pl.pallas_call(
         partial(_module_kernel, L=L, A=A, fwd=fwd, allow_sdel=allow_sdel),
@@ -163,13 +167,13 @@ def module_scan_pallas(
             pl.BlockSpec((A, C, W), lambda i: (0, 0, 0)),
             pl.BlockSpec((C, W), lambda i: (0, 0)),
             pl.BlockSpec((C, W), lambda i: (0, 0)),
-            pl.BlockSpec((L, BP), lambda i: (0, i)),
-            pl.BlockSpec((L, BP), lambda i: (0, i)),
-            pl.BlockSpec((L, BP), lambda i: (0, i)),
-            pl.BlockSpec((L, BP), lambda i: (0, i)),
+            pl.BlockSpec((BP, L), lambda i: (i, 0)),
+            pl.BlockSpec((BP, L), lambda i: (i, 0)),
+            pl.BlockSpec((BP, L), lambda i: (i, 0)),
+            pl.BlockSpec((BP, L), lambda i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((L + 1, BP, C), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((L + 1, nb * BP, C), jnp.int32),
         interpret=interpret,
-    )(seedT, lut, sdo, sde, pchar, pmask, io, ie)
+    )(seedT, lut, sdo, sde, pchar_t, pmask_t, io_t, ie_t)
     return out[:, :NB]

@@ -291,3 +291,48 @@ def _alignment_entry_from_toml(entry):
         v = value["TemplateSwitchExit"]
         return (count, TemplateSwitchExit(anti_primary_gap=v["anti_primary_gap"]))
     raise ValueError(f"Unknown alignment entry {entry!r}")
+
+
+# --- statistics aggregation (alignment_result.rs:615-718) -----------------
+
+_STAT_KEYS = (
+    "cost",
+    "cost_per_base",
+    "duration_seconds",
+    "opened_nodes",
+    "closed_nodes",
+    "suboptimal_opened_nodes",
+    "suboptimal_opened_nodes_ratio",
+    "template_switch_amount",
+    "runtime",
+    "memory",
+)
+
+
+def statistics_min(results):
+    """Piecewise minimum over AlignmentResult statistics."""
+    return {k: min(getattr(r, k) for r in results) for k in _STAT_KEYS}
+
+
+def statistics_max(results):
+    return {k: max(getattr(r, k) for r in results) for k in _STAT_KEYS}
+
+
+def statistics_sum(results):
+    return {k: sum(getattr(r, k) for r in results) for k in _STAT_KEYS}
+
+
+def statistics_mean(results):
+    n = len(results)
+    return {k: sum(getattr(r, k) for r in results) / n for k in _STAT_KEYS}
+
+
+def statistics_percentile(results, q: float):
+    """Per-key q-percentile (0..1), nearest-rank."""
+    out = {}
+    n = len(results)
+    idx = min(n - 1, max(0, round(q * (n - 1))))
+    for k in _STAT_KEYS:
+        vals = sorted(getattr(r, k) for r in results)
+        out[k] = vals[idx]
+    return out

@@ -11,6 +11,13 @@ sys.path[:] = [p for p in sys.path if "axon_site" not in p]
 os.environ["PYTHONPATH"] = ":".join(
     p for p in os.environ.get("PYTHONPATH", "").split(":") if "axon_site" not in p
 )
+# Pytest plugins (jaxtyping) import jax before this conftest runs, so the
+# env var alone is too late; force the platform through the config as well
+# (the backend itself initializes lazily, so this still takes effect).
+if "jax" in sys.modules:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -30,7 +30,7 @@ from .config import TemplateSwitchConfig
 from .costs import INF
 from .geometry import AlignmentRange
 from .ops.jax_primary import JaxPrimarySweep
-from .ops.jax_modules import JaxKindModule, _kind_chunk_step, _same_module_jit
+from .ops.jax_modules import JaxKindModule, _kind_all_chunks, _same_module_jit
 from .ops.jaxcommon import (
     DEV_INF,
     from_device_costs,
@@ -225,12 +225,16 @@ class JaxAligner:
                 B_pre = _same_module_jit(fixed, st=km._static)
             else:
                 B_pre = jnp.zeros((1, 1), jnp.int32)
-            for e0 in range(0, n_e, C):
-                e_base = np.int32(min(e0, n_e - C) if n_e >= C else 0)
-                Rk_pad = _kind_chunk_step(
-                    A_dev, Rk_pad, fixed, jnp.int32(e_base), B_pre,
-                    st=km._static, PAD=PAD
-                )
+            e_bases = jnp.asarray(
+                [
+                    np.int32(min(e0, n_e - C) if n_e >= C else 0)
+                    for e0 in range(0, n_e, C)
+                ],
+                jnp.int32,
+            )
+            Rk_pad = _kind_all_chunks(
+                A_dev, Rk_pad, fixed, e_bases, B_pre, st=km._static, PAD=PAD
+            )
             Rk = np.array(Rk_pad)[:, PAD : PAD + n_anti + 1]
             Rk[:, n_anti] = int(DEV_INF)  # strict reentry bound: j2 < n_anti
             if spec.pk == 1:

@@ -569,7 +569,22 @@ def _same_module_jit(fixed, *, st):
 
 
 @partial(jax.jit, static_argnames=("st", "PAD"))
-def _kind_chunk_step(A_mod, Rk_pad, fixed, e_base, B_pre, *, st, PAD):
+def _kind_all_chunks(A_mod, Rk_pad, fixed, e_bases, B_pre, *, st, PAD):
+    """All e-chunks of a kind in one dispatch: lax.scan over the traced
+    chunk offsets with the padded reentry accumulator as carry."""
+
+    def body(carry, e_base):
+        return (
+            _kind_chunk_step(carry, A_mod=A_mod, fixed=fixed, e_base=e_base,
+                             B_pre=B_pre, st=st, PAD=PAD),
+            None,
+        )
+
+    Rk_pad, _ = jax.lax.scan(body, Rk_pad, e_bases)
+    return Rk_pad
+
+
+def _kind_chunk_step(Rk_pad, *, A_mod, fixed, e_base, B_pre, st, PAD):
     """One e-chunk of a kind's pipeline with a traced chunk offset: slice the
     entry field and per-e tables at e_base, run the module + assembly, and
     min-fold the resulting slab into the padded reentry accumulator at

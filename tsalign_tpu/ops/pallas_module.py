@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .jaxcommon import DEV_INF
 
@@ -64,7 +65,7 @@ def _module_kernel(
     lut_ref,  # (A, C, W) match/sub cost vs the secondary char at each (e, r)
     sdo_ref,  # (C, W) secondary-deletion open
     sde_ref,  # (C, W) secondary-deletion extend
-    pchar_ref,  # (BP, L) per-level primary char (alphabet index, 0 if invalid)
+    pchar_ref,  # (BP, L) per-level primary char (0 if invalid)
     pmask_ref,  # (BP, L) 0 where the level's primary char is valid, INF else
     io_ref,  # (BP, L) secondary-insertion open (pchar keyed, INF-masked)
     ie_ref,  # (BP, L) secondary-insertion extend
@@ -76,6 +77,7 @@ def _module_kernel(
     allow_sdel: bool,
 ):
     BP, C, W = seedT_ref.shape
+    Lp = pchar_ref.shape[1]
     sdo = sdo_ref[...][None]
     sde = jnp.broadcast_to(sde_ref[...][None], (BP, C, W))
     lut = lut_ref[...]
@@ -94,15 +96,20 @@ def _module_kernel(
         Td = close(Tn, Ti, Td)
         emit = jnp.min(jnp.minimum(jnp.minimum(Tn, Ti), Td), axis=-1)
         out_ref[pl.ds(lvl, 1)] = emit[None]
-        pchar = pchar_ref[:, pl.ds(lvl, 1)][:, 0]  # (BP,)
-        pmask = pmask_ref[:, pl.ds(lvl, 1)][:, 0][:, None, None]
+        # Extract the level's per-row values with an iota-mask reduction:
+        # Mosaic cannot dynamically index the lane dimension, but a masked
+        # sum over it is plain vector code.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BP, Lp), 1)
+        sel = lane == lvl
+        pchar = jnp.sum(jnp.where(sel, pchar_ref[...], 0), axis=-1)  # (BP,)
+        pmask = jnp.sum(jnp.where(sel, pmask_ref[...], 0), axis=-1)[:, None, None]
+        io = jnp.sum(jnp.where(sel, io_ref[...], 0), axis=-1)[:, None, None]
+        ie = jnp.sum(jnp.where(sel, ie_ref[...], 0), axis=-1)[:, None, None]
         # select the level's match/sub costs from the LUT by primary char
         sub = jnp.full((BP, C, W), DEV_INF, jnp.int32)
         for a in range(A):
             sub = jnp.where((pchar == a)[:, None, None], lut[a][None], sub)
         sub = jnp.minimum(sub + pmask, DEV_INF)
-        io = io_ref[:, pl.ds(lvl, 1)][:, 0][:, None, None]
-        ie = ie_ref[:, pl.ds(lvl, 1)][:, 0][:, None, None]
         src_any = jnp.minimum(jnp.minimum(Tn, Ti), Td)
         diag = jnp.minimum(src_any + sub, DEV_INF)
         Tn_next = _shift_last(diag, 1, fwd)
@@ -154,10 +161,6 @@ def module_scan_pallas(
         pmask = jnp.pad(pmask, ((0, 0), (0, pad)), constant_values=DEV_INF)
         io = jnp.pad(io, ((0, 0), (0, pad)), constant_values=DEV_INF)
         ie = jnp.pad(ie, ((0, 0), (0, pad)), constant_values=DEV_INF)
-    pchar_t = pchar.T
-    pmask_t = pmask.T
-    io_t = io.T
-    ie_t = ie.T
 
     out = pl.pallas_call(
         partial(_module_kernel, L=L, A=A, fwd=fwd, allow_sdel=allow_sdel),
@@ -175,5 +178,5 @@ def module_scan_pallas(
         out_specs=pl.BlockSpec((L + 1, BP, C), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((L + 1, nb * BP, C), jnp.int32),
         interpret=interpret,
-    )(seedT, lut, sdo, sde, pchar_t, pmask_t, io_t, ie_t)
+    )(seedT, lut, sdo, sde, pchar.T, pmask.T, io.T, ie.T)
     return out[:, :NB]

@@ -238,3 +238,33 @@ def align_cost(
 ) -> int:
     """Convenience: optimal template-switch alignment cost."""
     return DenseAligner(config, reference, query, **kwargs).align().cost
+
+
+def min_tsm_cost_bound(config) -> int:
+    """Safe lower bound on the total extra cost of one template switch:
+    min base + min offset + min length + min ldiff + min anti, minus the
+    maximum possible secondary-length discount when the tie-break bonus is
+    active.  Used to stop the round iteration exactly: a round-(k+1)
+    improvement requires a path with k+1 TSMs costing >= (k+1) * bound."""
+    from .costs import INF as _INF
+
+    def fmin(fn):
+        vals = [c for _, c in fn.points if c < _INF]
+        return min(vals) if vals else _INF
+
+    best = _INF
+    for key, base in config.base_cost.items():
+        if base >= _INF:
+            continue
+        same = key[0] == key[1]
+        off = fmin(config.rr_qq_offset_costs if same else config.rq_qr_offset_costs)
+        d = fmin(config.anti_primary_gap_costs("Forward" if key[2] == "f" else "Reverse"))
+        total = base + off + fmin(config.length_costs) + fmin(
+            config.length_difference_costs
+        ) + d
+        best = min(best, total)
+    if best >= _INF:
+        return _INF
+    lmax = config.length_costs.maximum_finite_input()
+    lmax = int(lmax) if lmax is not None else 0
+    return max(0, best - config.secondary_length_bonus * lmax)

@@ -39,6 +39,7 @@ from .ops.jaxcommon import (
 )
 from .ops.primary_sweep import GAP_NONE
 from .ops.tsm_modules import make_kind_spec
+from .engine import min_tsm_cost_bound
 
 
 @dataclass
@@ -195,7 +196,7 @@ class JaxAligner:
                         kinds.append(km)
         return kinds
 
-    def _reentry(self, M_host: np.ndarray, kinds: List[JaxKindModule]):
+    def _reentry(self, M_host: np.ndarray, kinds: List[JaxKindModule], best: int = INF):
         """Entry field extraction + all kind pipelines -> reentry cells.
 
         Each kind runs as one jitted chunk-step with a *traced* chunk offset,
@@ -225,13 +226,22 @@ class JaxAligner:
                 B_pre = _same_module_jit(fixed, st=km._static)
             else:
                 B_pre = jnp.zeros((1, 1), jnp.int32)
-            e_bases = jnp.asarray(
-                [
-                    np.int32(min(e0, n_e - C) if n_e >= C else 0)
-                    for e0 in range(0, n_e, C)
-                ],
-                jnp.int32,
-            )
+            # Prune chunks that cannot contribute to an optimal path: any
+            # reentry value derived from entry cells costing more than the
+            # best known total already exceeds the optimum.
+            # Under the total-length tie-break, secondary edges carry a -1
+            # bonus; future TSMs can discount at most the total secondary
+            # length, bounded by the sequence lengths.
+            slack = self.config.secondary_length_bonus * (self.n_r + self.n_q)
+            thresh = min(best + slack, int(DEV_INF))
+            bases = []
+            for e0 in range(0, n_e, C):
+                eb = min(e0, n_e - C) if n_e >= C else 0
+                a_min = int(A_mod[:, eb : eb + C].min()) if A_mod.size else int(DEV_INF)
+                bases.append(np.int32(eb) if a_min + spec.base <= thresh else np.int32(-1))
+            if all(b < 0 for b in bases):
+                continue
+            e_bases = jnp.asarray(bases, jnp.int32)
             Rk_pad = _kind_all_chunks(
                 A_dev, Rk_pad, fixed, e_bases, B_pre, st=km._static, PAD=PAD
             )
@@ -280,7 +290,7 @@ class JaxAligner:
             self._last_budget = budget
             kinds = self._build_kinds(budget)
             for c in range(1, t + 1):
-                R = self._reentry(M, kinds)
+                R = self._reentry(M, kinds, best=best)
                 keepR(R)
                 seeds = np.minimum(root, self._as_seeds(R))
                 M = self._sweep_host(seeds, c < t)
@@ -295,8 +305,14 @@ class JaxAligner:
         budget = self._sdel_budget(best)
         self._last_budget = budget
         kinds = self._build_kinds(budget)
+        delta = min_tsm_cost_bound(self.config)
         for k in range(1, self.max_rounds + 1):
-            R = self._reentry(M, kinds)
+            # Exact early stop: a further improvement needs a path with k
+            # template switches, costing at least k * delta.
+            if delta > 0 and k * delta > best:
+                res.cost, res.rounds = best, k
+                return res
+            R = self._reentry(M, kinds, best=best)
             keepR(R)
             seeds = np.minimum(root, self._as_seeds(R))
             M_next = self._sweep_host(seeds, True)

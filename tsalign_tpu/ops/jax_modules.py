@@ -142,6 +142,13 @@ class JaxKindModule:
     ):
         self.spec = spec
         self.chunk = min(chunk, spec.n_anti + 1)
+        # Clamp the e-chunk so the Pallas module kernel's VMEM working set
+        # (3 gap planes x 8 rows + scan temporaries + the LUT) fits.
+        if not spec.same_seq:
+            W_pad = -(-(spec.r_hi - spec.r_lo + 1) // 128) * 128
+            A = config.alphabet.size
+            while self.chunk > 8 and 4 * (10 * 8 + A + 2) * self.chunk * W_pad > 13 * 2**20:
+                self.chunk //= 2
         self.allow_sdel = allow_secondary_deletions
         self.anti_lo, self.anti_hi = anti_lo, anti_hi
 
@@ -574,9 +581,19 @@ def _kind_all_chunks(A_mod, Rk_pad, fixed, e_bases, B_pre, *, st, PAD):
     chunk offsets with the padded reentry accumulator as carry."""
 
     def body(carry, e_base):
+        # e_base < 0 marks a chunk whose entry-field minimum already exceeds
+        # the best known total cost: it cannot lie on an optimal path, so it
+        # is skipped (the host builds the sentinel list per round).
         return (
-            _kind_chunk_step(carry, A_mod=A_mod, fixed=fixed, e_base=e_base,
-                             B_pre=B_pre, st=st, PAD=PAD),
+            jax.lax.cond(
+                e_base >= 0,
+                lambda c: _kind_chunk_step(
+                    c, A_mod=A_mod, fixed=fixed, e_base=e_base, B_pre=B_pre,
+                    st=st, PAD=PAD
+                ),
+                lambda c: c,
+                carry,
+            ),
             None,
         )
 

@@ -206,6 +206,12 @@ class JaxAligner:
         gather-style ones proved pathological.
         """
         A_cells = M_host[-1].min(axis=0).astype(np.int32)  # (n_r+1, n_q+1)
+        # Primary coordinates only ever increase, so entries beyond the
+        # target limits can never reach the target: mask them out (an exact
+        # cut that shrinks the live region sharply for range-restricted runs).
+        A_cells = A_cells.copy()
+        A_cells[self.range.reference_limit + 1 :, :] = int(DEV_INF)
+        A_cells[:, self.range.query_limit + 1 :] = int(DEV_INF)
         R_cells = np.full((self.n_r + 1, self.n_q + 1), int(DEV_INF), np.int32)
         for km in kinds:
             spec = km.spec

@@ -229,7 +229,11 @@ class JaxAligner:
             Rk_pad = jnp.full((spec.n_p + 1, width), DEV_INF, jnp.int32)
             fixed = km._fixed
             if spec.same_seq:
-                B_pre = _same_module_jit(fixed, st=km._static)
+                # The intra-sequence module is independent of the entry
+                # field, hence round-invariant: compute once per alignment.
+                if getattr(km, "_b_pre_cache", None) is None:
+                    km._b_pre_cache = _same_module_jit(fixed, st=km._static)
+                B_pre = km._b_pre_cache
             else:
                 B_pre = jnp.zeros((1, 1), jnp.int32)
             # Prune chunks that cannot contribute to an optimal path: any

@@ -125,14 +125,18 @@ def chain_align(
         cr1, cq1 = min(n_r, r1 + radius), min(n_q, q1 + radius)
         sub_r = ref[cr0:cr1]
         sub_q = qry[cq0:cq1]
-        # Pad to power-of-two buckets so device compiles are shared across
-        # segments.  Padding is unreachable: under RangePrune the primary
-        # stays in the focus range and secondaries reach at most `radius`
-        # beyond it, which the context already covers.
+        # Pad to power-of-two buckets with the poison char (index ==
+        # alphabet size, pricing INF against everything) so device compiles
+        # are shared across segments while padding stays unreachable.
         if use_jax:
+            P = config.alphabet.size
             br, bq = _bucket(len(sub_r)), _bucket(len(sub_q))
-            sub_r = np.concatenate([sub_r, np.zeros(br - len(sub_r), sub_r.dtype)])
-            sub_q = np.concatenate([sub_q, np.zeros(bq - len(sub_q), sub_q.dtype)])
+            sub_r = np.concatenate(
+                [sub_r, np.full(br - len(sub_r), P, sub_r.dtype)]
+            )
+            sub_q = np.concatenate(
+                [sub_q, np.full(bq - len(sub_q), P, sub_q.dtype)]
+            )
         rng = AlignmentRange(r0 - cr0, q0 - cq0, r1 - cr0, q1 - cq0)
         if progress:
             print(
@@ -145,7 +149,11 @@ def chain_align(
             sub_r,
             sub_q,
             range_=rng,
-            prune_range=True,
+            # The numpy engine prunes to the focus range (exact context
+            # bounding); the device engine runs NoPrune over the poisoned
+            # bucket so segment shapes share compilations — primary roaming
+            # within the context matches the full-pair NoPrune semantics.
+            prune_range=not use_jax,
             max_template_switches=max_template_switches,
         )
         cost, aln = eng.align_with_traceback()

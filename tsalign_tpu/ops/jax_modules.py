@@ -156,9 +156,12 @@ class JaxKindModule:
         qry = np.asarray(query, dtype=np.int64)
         self.P = ref if spec.pk == 0 else qry
         sec = ref if spec.sk == 0 else qry
-        comp = config.alphabet.complement_array().astype(np.int64)
-        table = config.secondary_edit_costs(_DK[spec.dk])
         A = config.alphabet.size
+        # poison padding char support (chained-mode bucketed segments)
+        comp = np.append(config.alphabet.complement_array().astype(np.int64), A)
+        from .jax_primary import _pad_table_for_poison
+
+        table = _pad_table_for_poison(config.secondary_edit_costs(_DK[spec.dk]))
 
         n_s, r_lo, r_hi = spec.n_s, spec.r_lo, spec.r_hi
         W = r_hi - r_lo + 1

@@ -55,6 +55,12 @@ class JaxPrimarySweep:
         ref_ok[rng.reference_offset : rng.reference_limit] = True
         qry_ok[rng.query_offset : rng.query_limit] = True
         qmask = np.where(qry_ok[:n_q], 0, INF)
+        # Sequences may carry the poison padding char (index == alphabet
+        # size, used by bucketed chained-mode segments); extend every table
+        # with an INF row/column so any interaction with padding is INF.
+        pad_idx = config.alphabet.size
+        ref = np.clip(ref, 0, pad_idx)
+        qry = np.clip(qry, 0, pad_idx)
 
         self._rows = {}
         self._ins = {}
@@ -63,6 +69,7 @@ class JaxPrimarySweep:
             ("left", config.left_flank_edit_costs),
             ("right", config.right_flank_edit_costs),
         ):
+            table = _pad_table_for_poison(table)
             subrow = np.full((n_r + 1, n_q), INF, dtype=np.int64)
             delopen = np.full(n_r + 1, INF, dtype=np.int64)
             delext = np.full(n_r + 1, INF, dtype=np.int64)
@@ -206,3 +213,17 @@ def _ordered(none_c, ins_c, del_c):
     out[GAP_INS] = ins_c
     out[GAP_DEL] = del_c
     return out
+
+
+def _pad_table_for_poison(table):
+    """Copy of a GapAffineCostTable with one extra INF row/column/entry so
+    the poison padding char (index == alphabet size) prices as INF."""
+    import copy
+
+    t = copy.copy(table)
+    t.substitution = np.pad(
+        table.substitution, ((0, 1), (0, 1)), constant_values=INF
+    )
+    t.gap_open = np.pad(table.gap_open, (0, 1), constant_values=INF)
+    t.gap_extend = np.pad(table.gap_extend, (0, 1), constant_values=INF)
+    return t

@@ -82,6 +82,15 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["any", "only-equal"])
     a.add_argument("--force-label-correcting", action="store_true")
     a.add_argument("--engine", default="auto", choices=["auto", "numpy", "jax"])
+    a.add_argument("-k", "--kmer-length", type=int, default=None)
+    a.add_argument("--max-chaining-successors", type=int, default=None)  # accepted
+    a.add_argument("--max-exact-cost-function-cost", type=int, default=None)  # accepted
+    a.add_argument("--chaining-open-list", default=None)  # accepted
+    a.add_argument("--chaining-closed-list", default=None)  # accepted
+    a.add_argument("--cache-directory", default=None)
+    a.add_argument("--force-no-preprocessing", action="store_true")
+    a.add_argument("--force-label-correcting-all", dest="_flc2", action="store_true",
+                   help=argparse.SUPPRESS)
 
     pre = sub.add_parser("preprocess", help="precompute chained-mode caches")
     pre.add_argument("-c", "--configuration-directory", required=True)
@@ -125,6 +134,17 @@ def cmd_align(args) -> int:
         rng = _parse_rq_ranges(args.rq_ranges)
 
     if args.alignment_method == "a-star-chain-ts":
+        if args.force_no_preprocessing and args.cache_directory:
+            import glob
+            import os as _os
+
+            if not glob.glob(_os.path.join(args.cache_directory, "*-plan.tsc.json")):
+                print(
+                    "--force-no-preprocessing given but no preprocessing cache "
+                    f"found in {args.cache_directory}",
+                    file=sys.stderr,
+                )
+                return 2
         return _cmd_align_chain(args, config, ref_rec, qry_rec)
     if args.alignment_method == "matrix":
         return _cmd_align_matrix(args, config, ref_rec, qry_rec)
@@ -175,6 +195,7 @@ def _cmd_align_chain(args, config, ref_rec, qry_rec) -> int:
         config,
         ref,
         qry,
+        k=args.kmer_length,
         max_template_switches=args.max_template_switches,
         engine=args.engine,
         progress=args.log_level in ("debug", "trace"),

@@ -145,3 +145,49 @@ def test_golden_alignment_reprices_exactly(name, expect):
     rl, ql = _advance(ro, qo, rec.alignment.entries)
     rng = AlignmentRange(ro, qo, rl, ql)
     assert price_alignment(cfg, ref, qry, rec.alignment, range_=rng) == expect
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "twin_heli_MDC1-AS1_10",
+        "twin_heli_linc01237_114",
+        "underscore",
+        "twin_ari_chrX_146823507_146823598",
+    ],
+)
+def test_golden_equal_cost_ranges_match(name):
+    """Our equal-cost-range postprocessing reproduces the reference's
+    recorded ranges exactly on all shipped golden alignments."""
+    import copy
+
+    from tsalign_tpu.alignment import TemplateSwitchEntrance
+    from tsalign_tpu.geometry import AlignmentRange
+    from tsalign_tpu.postprocess import _advance, compute_ts_equal_cost_ranges
+    from tsalign_tpu.result import AlignmentResult
+
+    al = get_alphabet("dna-n")
+    cfg = TemplateSwitchConfig.from_path(
+        reference_path("test_files", "config", "experiments", "config.tsa"), al
+    )
+    rec = AlignmentResult.from_toml(
+        open(reference_path("test_files", f"{name}.toml")).read()
+    )
+    ref = al.encode(rec.sequences.reference.upper())
+    qry = al.encode(rec.sequences.query.upper())
+    ro, qo = rec.reference_offset, rec.query_offset
+    rl, ql = _advance(ro, qo, rec.alignment.entries)
+    rng = AlignmentRange(ro, qo, rl, ql)
+    golden = [
+        t.equal_cost_range
+        for _, t in rec.alignment.entries
+        if isinstance(t, TemplateSwitchEntrance)
+    ]
+    work = copy.deepcopy(rec.alignment)
+    compute_ts_equal_cost_ranges(work, cfg, ref, qry, rng)
+    ours = [
+        t.equal_cost_range
+        for _, t in work.entries
+        if isinstance(t, TemplateSwitchEntrance)
+    ]
+    assert golden == ours

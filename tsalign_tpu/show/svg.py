@@ -230,7 +230,7 @@ def create_error_svg(message: str) -> str:
     return (
         '<svg xmlns="http://www.w3.org/2000/svg" width="640" height="60">'
         f'<style>{_STYLE}</style><rect width="640" height="60" fill="#fee"/>'
-        f'<text x="16" y="35" class="sub">{_esc(message)}</text></svg>'
+        f'<text x="16" y="35" class="sub">{"".join(map(_esc, message))}</text></svg>'
     )
 
 

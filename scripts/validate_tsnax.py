@@ -22,11 +22,13 @@ def main():
     cfg = TemplateSwitchConfig.from_path(
         "/root/reference/test_files/config/bench/config.tsa", al
     )
-    r1, r2 = parse_pair_fasta_file(
-        "/root/reference/test_files/TSNAX-DISC1_473.fa"
-    )
-    ref = al.encode(r1.sequence.upper())
-    qry = al.encode(r2.sequence.upper())
+    # the locus sequences as embedded in the reference test
+    # (lib_tsalign/src/tests.rs:45-47); the fa file carries gap dashes
+    from tsalign_tpu.fasta import strip_skip_characters
+
+    r1, r2 = parse_pair_fasta_file("/root/reference/test_files/TSNAX-DISC1_473.fa")
+    ref = al.encode(strip_skip_characters(r1.sequence, "-").upper())
+    qry = al.encode(strip_skip_characters(r2.sequence, "-").upper())
     rng = AlignmentRange(196, 196, 219, 212)
     t0 = time.time()
     res = JaxAligner(cfg, ref, qry, range_=rng, chunk=64, keep_fields=False).align()

@@ -42,3 +42,21 @@ def test_jax_engine_planted_two_tsms_default_config():
     nc = DenseAligner(cfg, ref, qry).align().cost
     jc = JaxAligner(cfg, ref, qry, chunk=16, keep_fields=False).align().cost
     assert nc == jc
+
+
+def test_batched_ts_matches_single_pair():
+    """Batched multi-pair TS engine (vmapped kernels over a poison bucket)
+    equals the single-pair engine on every pair."""
+    from tsalign_tpu.parallel.batch_ts import BatchedTSAligner
+
+    rng = np.random.default_rng(12)
+    al = get_alphabet("dna")
+    cfg = random_config(rng, al, flanks=False)
+    pairs = [related_pair(rng, al, max_len=12) for _ in range(4)]
+    got = BatchedTSAligner(cfg, pairs, chunk=8).costs()
+    for i, (r, q) in enumerate(pairs):
+        exp = DenseAligner(cfg, r, q).align().cost
+        g = int(got[i])
+        from tsalign_tpu.costs import INF
+
+        assert (g if g < INF else INF) == exp

@@ -112,6 +112,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def cmd_align(args) -> int:
+    import logging
+
+    logging.basicConfig(
+        level=getattr(logging, args.log_level.upper(), logging.INFO),
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
     from .aligner import Aligner
 
     al = get_alphabet(args.alphabet)

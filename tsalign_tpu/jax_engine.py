@@ -19,6 +19,9 @@ import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tsalign_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
+import logging
+import time
+
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -40,6 +43,9 @@ from .ops.jaxcommon import (
 from .ops.primary_sweep import GAP_NONE
 from .ops.tsm_modules import make_kind_spec
 from .engine import min_tsm_cost_bound
+
+
+logger = logging.getLogger("tsalign_tpu")
 
 
 @dataclass
@@ -309,9 +315,11 @@ class JaxAligner:
             res.cost, res.rounds = best, t + 1
             return res
 
+        t0 = time.monotonic()
         M = self._sweep_host(root, True)
         keep(M)
         best = self._target_cost(M)
+        logger.debug("round 0 (no-TS sweep): cost=%s %.3fs", best, time.monotonic() - t0)
         budget = self._sdel_budget(best)
         self._last_budget = budget
         kinds = self._build_kinds(budget)
@@ -322,12 +330,14 @@ class JaxAligner:
             if delta > 0 and k * delta > best:
                 res.cost, res.rounds = best, k
                 return res
+            t0 = time.monotonic()
             R = self._reentry(M, kinds, best=best)
             keepR(R)
             seeds = np.minimum(root, self._as_seeds(R))
             M_next = self._sweep_host(seeds, True)
             keep(M_next)
             best = min(best, self._target_cost(M_next))
+            logger.debug("round %d: cost=%s %.3fs", k, best, time.monotonic() - t0)
             if np.array_equal(M_next, M):
                 res.cost, res.rounds = best, k + 1
                 return res

@@ -258,10 +258,18 @@ class JaxAligner:
             if all(b < 0 for b in bases):
                 continue
             e_bases = jnp.asarray(bases, jnp.int32)
+            t_kind = time.monotonic()
             Rk_pad = _kind_all_chunks(
                 A_dev, Rk_pad, fixed, e_bases, B_pre, st=km._static, PAD=PAD
             )
             Rk = np.array(Rk_pad)[:, PAD : PAD + n_anti + 1]
+            if logger.isEnabledFor(logging.DEBUG):
+                live = sum(1 for b in bases if b >= 0)
+                logger.debug(
+                    "  kind pk=%d sk=%d dk=%d: %d/%d chunks %.3fs",
+                    spec.pk, spec.sk, spec.dk, live, len(bases),
+                    time.monotonic() - t_kind,
+                )
             Rk[:, n_anti] = int(DEV_INF)  # strict reentry bound: j2 < n_anti
             if spec.pk == 1:
                 Rk = Rk.T

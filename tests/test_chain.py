@@ -73,3 +73,46 @@ def test_chain_align_matches_full_engine():
     assert price_alignment(cfg, ref, qry, res.alignment) == res.cost
     full = DenseAligner(cfg, ref, qry).align().cost
     assert res.cost == full
+
+
+def test_chain_cli(tmp_path):
+    import subprocess
+    import sys as _sys
+
+    rng = np.random.default_rng(4)
+    al = get_alphabet("dna-n")
+    n = 200
+    ref = rng.integers(0, 4, size=n)
+    qry = ref.copy()
+    comp = al.complement_array()
+    qry[80:92] = [comp[c] for c in qry[80:92]][::-1]
+    fa = tmp_path / "pair.fa"
+    fa.write_text(
+        ">ref\n" + al.decode(ref) + "\n>qry\n" + al.decode(qry) + "\n"
+    )
+    out = tmp_path / "out.toml"
+    r = subprocess.run(
+        [
+            _sys.executable,
+            "-m",
+            "tsalign_tpu.cli",
+            "align",
+            "-p",
+            str(fa),
+            "--alignment-method",
+            "a-star-chain-ts",
+            "--engine",
+            "numpy",
+            "-o",
+            str(out),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=500,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "segments:" in r.stdout
+    from tsalign_tpu.result import AlignmentResult
+
+    res = AlignmentResult.from_toml(out.read_text())
+    assert res.has_target

@@ -153,6 +153,13 @@ class JaxAligner:
         ] = 0
         return seeds
 
+    def _masked_equal(self, A: np.ndarray, B: np.ndarray, best: int) -> bool:
+        if best >= INF:
+            return np.array_equal(A, B)
+        slack = self.config.secondary_length_bonus * (self.n_r + self.n_q)
+        t = np.int32(min(best + slack, int(DEV_INF) - 1))
+        return np.array_equal(np.minimum(A, t + 1), np.minimum(B, t + 1))
+
     def _target_cost(self, M_host: np.ndarray) -> int:
         v = int(M_host[:, :, self.range.reference_limit, self.range.query_limit].min())
         return INF if v >= int(DEV_INF) // 2 else v
@@ -218,6 +225,13 @@ class JaxAligner:
         A_cells = A_cells.copy()
         A_cells[self.range.reference_limit + 1 :, :] = int(DEV_INF)
         A_cells[:, self.range.query_limit + 1 :] = int(DEV_INF)
+        # Per-cell cost cut: entries already costing more than the best
+        # known total (plus the tie-break slack) cannot start a TSM on an
+        # optimal path.  This also makes the reentry fields depend only on
+        # the sub-threshold region, so the fixpoint can be tested there.
+        slack_cells = self.config.secondary_length_bonus * (self.n_r + self.n_q)
+        if best < INF:
+            A_cells[A_cells.astype(np.int64) > best + slack_cells] = int(DEV_INF)
         R_cells = np.full((self.n_r + 1, self.n_q + 1), int(DEV_INF), np.int32)
         for km in kinds:
             spec = km.spec
@@ -346,7 +360,11 @@ class JaxAligner:
             keep(M_next)
             best = min(best, self._target_cost(M_next))
             logger.debug("round %d: cost=%s %.3fs", k, best, time.monotonic() - t0)
-            if np.array_equal(M_next, M):
+            # Fixpoint on the sub-threshold region only: reentries are
+            # computed exclusively from sub-threshold entries, so stability
+            # there is a true fixpoint of the pruned (target-equivalent)
+            # system; super-threshold churn cannot affect the optimum.
+            if self._masked_equal(M_next, M, best):
                 res.cost, res.rounds = best, k + 1
                 return res
             M = M_next

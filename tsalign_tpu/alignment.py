@@ -172,6 +172,37 @@ class Alignment:
                 out.append(str(t))
         return "".join(out)
 
+    def reverse(self) -> "Alignment":
+        """Reversed RLE (alignment.rs reverse())."""
+        return Alignment(list(reversed(self.entries)))
+
+    def inverted(self) -> "Alignment":
+        """Swap the roles of reference and query
+        (alignment_type.rs:152-199 inverted()): insertions become deletions
+        and vice versa, entrance primary/secondary labels flip sequence."""
+
+        def flip(t):
+            if isinstance(t, str):
+                swaps = {
+                    PRIMARY_INSERTION: PRIMARY_DELETION,
+                    PRIMARY_DELETION: PRIMARY_INSERTION,
+                    PRIMARY_FLANK_INSERTION: PRIMARY_FLANK_DELETION,
+                    PRIMARY_FLANK_DELETION: PRIMARY_FLANK_INSERTION,
+                }
+                return swaps.get(t, t)
+            if isinstance(t, TemplateSwitchEntrance):
+                other = {"Reference": "Query", "Query": "Reference"}
+                return TemplateSwitchEntrance(
+                    first_offset=t.first_offset,
+                    equal_cost_range=t.equal_cost_range,
+                    primary=other[t.primary],
+                    secondary=other[t.secondary],
+                    direction=t.direction,
+                )
+            return t
+
+        return Alignment([(n, flip(t)) for n, t in self.entries])
+
     @classmethod
     def from_edge_sequence(cls, edges) -> "Alignment":
         """Compress a forward-ordered edge list with the reference's merge rule.

@@ -1,6 +1,8 @@
 """JAX/TPU dense template-switch alignment engine.
 
-Device counterpart of engine.py (the numpy executable spec): the same
+Device counterpart of engine.py (the numpy executable spec, which carries
+the reference citations: lib_tsalign/src/a_star_aligner/template_switch_distance/context.rs
+and strategies/*): the same
 iterated structure — flank-layered primary sweeps (ops/jax_primary.py) and
 per-kind TSM module/assembly pipelines (ops/jax_modules.py) — jitted with
 static shapes in the int32 saturating (min,+) algebra.

@@ -18,7 +18,8 @@ fori-loops l = 0..L with
     primary character (a small where-chain over the alphabet),
   - the directional +-1 shift along W, and the in-place insertion plane.
 
-The numpy ModuleSweep (ops/tsm_modules.py) is the exact spec; this kernel
+The numpy ModuleSweep (ops/tsm_modules.py, citing context.rs:357-729) is
+the exact spec; this kernel
 is validated against it in interpret mode on CPU and compiled on TPU.
 """
 

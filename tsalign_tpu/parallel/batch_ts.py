@@ -1,6 +1,7 @@
 """Batched template-switch alignment: many pairs per device dispatch.
 
-The corpus-level throughput path (the reference ran one pair per process;
+The corpus-level throughput path (the reference ran one pair per process
+and left corpus parallelism to external scripts — alignment_result.rs:71-81,
 SURVEY.md §2.8): pairs are padded to one poison-char bucket, their per-pair
 tables stacked, and the single-pair jitted kernels (ops/jax_primary,
 ops/jax_modules) vmapped over the batch dimension.  The rounds loop runs to

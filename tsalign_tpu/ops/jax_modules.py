@@ -143,11 +143,13 @@ class JaxKindModule:
         self.spec = spec
         self.chunk = min(chunk, spec.n_anti + 1)
         # Clamp the e-chunk so the Pallas module kernel's VMEM working set
-        # (3 gap planes x 8 rows + scan temporaries + the LUT) fits.
+        # (3 gap planes x 8 rows + scan temporaries + the LUT) fits.  The
+        # budget is deliberately conservative: overflowing scoped VMEM at
+        # large windows has crashed the TPU worker outright.
         if not spec.same_seq:
             W_pad = -(-(spec.r_hi - spec.r_lo + 1) // 128) * 128
             A = config.alphabet.size
-            while self.chunk > 8 and 4 * (10 * 8 + A + 2) * self.chunk * W_pad > 13 * 2**20:
+            while self.chunk > 8 and 4 * (14 * 8 + A + 4) * self.chunk * W_pad > 10 * 2**20:
                 self.chunk //= 2
         self.allow_sdel = allow_secondary_deletions
         self.anti_lo, self.anti_hi = anti_lo, anti_hi

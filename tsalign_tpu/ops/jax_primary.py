@@ -23,6 +23,7 @@ import numpy as np
 from ..config import TemplateSwitchConfig
 from ..costs import INF
 from ..geometry import AlignmentRange
+import jax.numpy as _jnp  # noqa: F401
 from .jaxcommon import DEV_INF, minplus_scan, sat_add, to_device_costs
 from .primary_sweep import GAP_DEL, GAP_INS, GAP_NONE
 
@@ -105,7 +106,30 @@ class JaxPrimarySweep:
         M: (F, 3, n_r+1, n_q+1) int32.
 
         The jitted kernel is module-level with static (L, R, climb), so
-        instances with equal shapes share one compilation."""
+        instances with equal shapes share one compilation.  Flankless
+        configs on TPU use the on-chip Pallas sweep (the XLA per-row scan
+        is latency-bound)."""
+        if self.F == 1 and self._pallas_ok():
+            from .pallas_sweep import sweep_pallas_flankless
+
+            sub, do, de = self._rows["primary"]
+            n_rows = self.n_r + 1
+            Wq = self.n_q + 1
+            sub_rows = np.full((n_rows, Wq), int(DEV_INF), np.int32)
+            sub_rows[:, : self.n_q] = sub
+            dd = np.stack([do, de], axis=1).astype(np.int32)
+            io = np.full(Wq, int(DEV_INF), np.int32)
+            ie = np.full(Wq, int(DEV_INF), np.int32)
+            io[: self.n_q] = self._ins["primary"][0]
+            ie[: self.n_q] = self._ins["primary"][1]
+            M = sweep_pallas_flankless(
+                jnp.asarray(sub_rows),
+                jnp.asarray(dd),
+                seeds[0].transpose(1, 0, 2),
+                jnp.asarray(io),
+                jnp.asarray(ie),
+            )
+            return M.transpose(1, 0, 2)[None]
         arrays = {
             "p": self._rows["primary"],
             "l": self._rows["left"],
@@ -113,6 +137,15 @@ class JaxPrimarySweep:
             "ins": self._ins,
         }
         return _sweep_jit(seeds, arrays, L=self.L, R=self.R, climb=self.climb)
+
+    def _pallas_ok(self) -> bool:
+        from .jax_modules import _pallas_default
+
+        if not _pallas_default():
+            return False
+        # whole-state-resident kernel: stay well inside VMEM
+        bytes_needed = 4 * (self.n_r + 1) * (self.n_q + 1) * 7
+        return bytes_needed <= 12 * 2**20
 
 
 @partial(jax.jit, static_argnames=("L", "R", "climb"))

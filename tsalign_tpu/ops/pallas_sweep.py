@@ -1,0 +1,147 @@
+"""Pallas TPU kernel for the flank-layered primary sweep.
+
+The XLA lax.scan sweep dispatches one tiny step per reference row (a few KB
+of state), so it is latency-bound: ~2 ms/row adds up to ~1 s per round at
+n ~ 500.  This kernel keeps the whole row state in VMEM and fori-loops the
+rows on-chip; per-row inputs (substitution rows, deletion costs, seeds) are
+streamed from VMEM blocks, with rows packed 8-per-sublane-block and
+selected by an iota mask (Mosaic cannot dynamically index the lane or
+sublane dimensions, but dynamic indexing of a leading untiled dimension plus
+a masked reduction over the 8-row block is plain vector code).
+
+Supports the flankless case (F == 1), which covers every shipped config;
+flanked configs fall back to the XLA sweep.  The numpy PrimarySweep
+(ops/primary_sweep.py, citing context.rs:164-354) is the exact spec.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from .jaxcommon import DEV_INF
+
+GAP_NONE, GAP_INS, GAP_DEL = 0, 1, 2
+
+
+def _minplus_chain_row(cand, ext):
+    """D[t] = min(cand[t], D[t-1] + ext[t]) along the last axis, doubling."""
+    W = cand.shape[-1]
+    c, e = cand, ext
+    shift = 1
+    while shift < W:
+        pad = jnp.full(c.shape[:-1] + (shift,), DEV_INF, c.dtype)
+        c_prev = jnp.concatenate([pad, c[..., :-shift]], axis=-1)
+        e_prev = jnp.concatenate([pad, e[..., :-shift]], axis=-1)
+        c = jnp.minimum(c, jnp.minimum(c_prev + e, DEV_INF))
+        e = jnp.minimum(e_prev + e, DEV_INF)
+        shift *= 2
+    return c
+
+
+def _sweep_kernel(
+    sub_ref,  # (nb, 8, Wq) substitution rows (row r at [r//8, r%8])
+    dd_ref,  # (nb, 8, 128) del open/extend per row: lanes 0/1 used
+    seeds_ref,  # (n_rows, 3, Wq) per-row seeds
+    io_ref,  # (1, Wq) insertion open (per query char, masked)
+    ie_ref,  # (1, Wq) insertion extend
+    out_ref,  # (n_rows, 3, Wq)
+    *,
+    n_rows: int,
+):
+    Wq = sub_ref.shape[-1]
+
+    def body(r, carry):
+        prev_n, prev_i, prev_d = carry  # previous row planes, each (1, Wq)
+        blk = r // 8
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, Wq), 0)
+        sel = lane8 == (r % 8)
+        sub_row = jnp.sum(
+            jnp.where(sel, sub_ref[pl.ds(blk, 1)][0], 0), axis=0, keepdims=True
+        )
+        sel128 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == (r % 8)
+        ddrow = jnp.sum(
+            jnp.where(sel128, dd_ref[pl.ds(blk, 1)][0], 0),
+            axis=0,
+        )
+        d_open = ddrow[0]
+        d_ext = ddrow[1]
+
+        seeds = seeds_ref[pl.ds(r, 1)][0]  # (3, Wq)
+        none_c = seeds[GAP_NONE][None]
+        del_c = seeds[GAP_DEL][None]
+        ins_seed = seeds[GAP_INS][None]
+
+        # diagonal: min over gaps of prev row shifted right by one, + sub
+        any_prev = jnp.minimum(jnp.minimum(prev_n, prev_i), prev_d)
+        pad = jnp.full((1, 1), DEV_INF, jnp.int32)
+        diag = jnp.minimum(
+            jnp.concatenate([pad, any_prev[..., :-1]], axis=-1)
+            + jnp.concatenate([pad, sub_row[..., :-1]], axis=-1),
+            DEV_INF,
+        )
+        none_c = jnp.minimum(none_c, diag)
+        # deletion: same column from previous row
+        del_new = jnp.minimum(
+            jnp.minimum(jnp.minimum(prev_n, prev_i) + d_open, DEV_INF),
+            jnp.minimum(prev_d + d_ext, DEV_INF),
+        )
+        del_c = jnp.minimum(del_c, del_new)
+        # insertion chain within the row
+        open_src = jnp.minimum(none_c, del_c)
+        open_c = jnp.concatenate(
+            [pad, jnp.minimum(open_src[..., :-1] + io_ref[...][..., :-1], DEV_INF)],
+            axis=-1,
+        )
+        cand = jnp.minimum(ins_seed, open_c)
+        ext_into = jnp.concatenate([pad, ie_ref[...][..., :-1]], axis=-1)
+        ins_c = _minplus_chain_row(cand, ext_into)
+
+        out_ref[pl.ds(r, 1)] = jnp.stack([none_c[0], ins_c[0], del_c[0]])[None]
+        return none_c, ins_c, del_c
+
+    init = (
+        jnp.full((1, Wq), DEV_INF, jnp.int32),
+        jnp.full((1, Wq), DEV_INF, jnp.int32),
+        jnp.full((1, Wq), DEV_INF, jnp.int32),
+    )
+    jax.lax.fori_loop(0, n_rows, body, init)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def sweep_pallas_flankless(sub_rows, ddrows, seeds, io, ie, *, interpret=False):
+    """Flankless primary sweep on-chip.
+
+    sub_rows: (n_rows, Wq) per-row substitution costs (row 0 = all INF);
+    ddrows: (n_rows, 2) del open/extend per row; seeds: (n_rows, 3, Wq);
+    io/ie: (Wq,).  Returns M (n_rows, 3, Wq).
+    """
+    n_rows, Wq = sub_rows.shape
+    nb = -(-n_rows // 8)
+    padr = nb * 8 - n_rows
+    if padr:
+        sub_rows = jnp.pad(sub_rows, ((0, padr), (0, 0)), constant_values=DEV_INF)
+        ddrows = jnp.pad(ddrows, ((0, padr), (0, 0)), constant_values=DEV_INF)
+    sub_b = sub_rows.reshape(nb, 8, Wq)
+    dd_b = jnp.pad(ddrows, ((0, 0), (0, 126)), constant_values=DEV_INF).reshape(
+        nb, 8, 128
+    )
+    out = pl.pallas_call(
+        partial(_sweep_kernel, n_rows=n_rows),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((nb, 8, Wq), lambda i: (0, 0, 0)),
+            pl.BlockSpec((nb, 8, 128), lambda i: (0, 0, 0)),
+            pl.BlockSpec((n_rows, 3, Wq), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, Wq), lambda i: (0, 0)),
+            pl.BlockSpec((1, Wq), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((n_rows, 3, Wq), lambda i: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_rows, 3, Wq), jnp.int32),
+        interpret=interpret,
+    )(sub_b, dd_b, seeds, io[None], ie[None])
+    return out

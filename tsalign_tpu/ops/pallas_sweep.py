@@ -28,15 +28,24 @@ from .jaxcommon import DEV_INF
 GAP_NONE, GAP_INS, GAP_DEL = 0, 1, 2
 
 
+def _shift_right(x, k: int):
+    """Shift right along the last axis by k, filling with DEV_INF (lane roll
+    + iota mask; Mosaic rejects sub-tile concatenation on 1-sublane data)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    rolled = pltpu.roll(x, k, axis=x.ndim - 1)
+    return jnp.where(lane < k, DEV_INF, rolled)
+
+
 def _minplus_chain_row(cand, ext):
     """D[t] = min(cand[t], D[t-1] + ext[t]) along the last axis, doubling."""
     W = cand.shape[-1]
     c, e = cand, ext
     shift = 1
     while shift < W:
-        pad = jnp.full(c.shape[:-1] + (shift,), DEV_INF, c.dtype)
-        c_prev = jnp.concatenate([pad, c[..., :-shift]], axis=-1)
-        e_prev = jnp.concatenate([pad, e[..., :-shift]], axis=-1)
+        c_prev = _shift_right(c, shift)
+        e_prev = _shift_right(e, shift)
         c = jnp.minimum(c, jnp.minimum(c_prev + e, DEV_INF))
         e = jnp.minimum(e_prev + e, DEV_INF)
         shift *= 2
@@ -78,11 +87,8 @@ def _sweep_kernel(
 
         # diagonal: min over gaps of prev row shifted right by one, + sub
         any_prev = jnp.minimum(jnp.minimum(prev_n, prev_i), prev_d)
-        pad = jnp.full((1, 1), DEV_INF, jnp.int32)
         diag = jnp.minimum(
-            jnp.concatenate([pad, any_prev[..., :-1]], axis=-1)
-            + jnp.concatenate([pad, sub_row[..., :-1]], axis=-1),
-            DEV_INF,
+            _shift_right(any_prev, 1) + _shift_right(sub_row, 1), DEV_INF
         )
         none_c = jnp.minimum(none_c, diag)
         # deletion: same column from previous row
@@ -93,12 +99,11 @@ def _sweep_kernel(
         del_c = jnp.minimum(del_c, del_new)
         # insertion chain within the row
         open_src = jnp.minimum(none_c, del_c)
-        open_c = jnp.concatenate(
-            [pad, jnp.minimum(open_src[..., :-1] + io_ref[...][..., :-1], DEV_INF)],
-            axis=-1,
+        open_c = _shift_right(
+            jnp.minimum(open_src + io_ref[...], DEV_INF), 1
         )
         cand = jnp.minimum(ins_seed, open_c)
-        ext_into = jnp.concatenate([pad, ie_ref[...][..., :-1]], axis=-1)
+        ext_into = _shift_right(ie_ref[...], 1)
         ins_c = _minplus_chain_row(cand, ext_into)
 
         out_ref[pl.ds(r, 1)] = jnp.stack([none_c[0], ins_c[0], del_c[0]])[None]

@@ -102,17 +102,24 @@ class _ModuleColumn:
     def _close(self, Tl):
         if not self.allow_sdel:
             return
+        from .ops.primary_sweep import min_plus_scan, sat_add as _sat
+
         W = self.W
-        rng = range(1, W) if self.delta == 1 else range(W - 2, -1, -1)
-        for t in rng:
-            src = t - self.delta
-            open_src = min(Tl[GAP_NONE, src], Tl[GAP_INS, src])
-            best = Tl[GAP_DEL, t]
-            if open_src < INF and self.sdel_open[src] < INF:
-                best = min(best, open_src + self.sdel_open[src])
-            if Tl[GAP_DEL, src] < INF and self.sdel_ext[src] < INF:
-                best = min(best, Tl[GAP_DEL, src] + self.sdel_ext[src])
-            Tl[GAP_DEL, t] = best
+        open_src = np.minimum(Tl[GAP_NONE], Tl[GAP_INS])
+        if self.delta == 1:
+            cand = np.full(W, INF, dtype=np.int64)
+            cand[1:] = _sat(open_src[:-1], self.sdel_open[:-1])
+            cand = np.minimum(cand, Tl[GAP_DEL])
+            ext = np.full(W, INF, dtype=np.int64)
+            ext[1:] = self.sdel_ext[:-1]
+            Tl[GAP_DEL] = min_plus_scan(cand, ext, axis=0)
+        else:
+            cand = np.full(W, INF, dtype=np.int64)
+            cand[:-1] = _sat(open_src[1:], self.sdel_open[1:])
+            cand = np.minimum(cand, Tl[GAP_DEL])
+            ext = np.full(W, INF, dtype=np.int64)
+            ext[:-1] = self.sdel_ext[1:]
+            Tl[GAP_DEL] = min_plus_scan(cand[::-1], ext[::-1], axis=0)[::-1]
 
     def backtrack(self, level: int, value: int) -> Tuple[int, List[str]]:
         """Reconstruct the secondary op path ending at `level` with `value`.

@@ -76,6 +76,7 @@ def test_chain_align_matches_full_engine():
 
 
 def test_chain_cli(tmp_path):
+    import os
     import subprocess
     import sys as _sys
 
@@ -109,6 +110,10 @@ def test_chain_cli(tmp_path):
         capture_output=True,
         text=True,
         timeout=500,
+        # The subprocess does not inherit conftest's in-process CPU forcing;
+        # without this it would initialise JAX against the (exclusive) TPU
+        # relay and hang if another client holds it.
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
     )
     assert r.returncode == 0, r.stderr
     assert "segments:" in r.stdout

@@ -2,11 +2,16 @@
 cost model: all three engines agree with the exact oracle, alignments
 re-price exactly, and the CLI produces consumable TOML."""
 
+import os
 import subprocess
 import sys
 
 import numpy as np
 import pytest
+
+# CLI subprocesses don't inherit conftest's in-process CPU forcing; without
+# this they would initialise JAX against the (exclusive) TPU relay.
+_CPU_ENV = {**os.environ, "JAX_PLATFORMS": "cpu"}
 
 from tsalign_tpu.alphabet import get_alphabet
 from tsalign_tpu.config import TemplateSwitchConfig
@@ -72,6 +77,7 @@ def test_cli_roundtrip(tmp_path):
         capture_output=True,
         text=True,
         timeout=300,
+        env=_CPU_ENV,
     )
     assert r.returncode == 0, r.stderr
     assert "cost:" in r.stdout
@@ -85,6 +91,7 @@ def test_cli_roundtrip(tmp_path):
         capture_output=True,
         text=True,
         timeout=120,
+        env=_CPU_ENV,
     )
     assert r2.returncode == 0, r2.stderr
     assert "Template switch" in r2.stdout
@@ -110,6 +117,7 @@ def test_cli_matrix_and_gap_affine():
             capture_output=True,
             text=True,
             timeout=300,
+            env=_CPU_ENV,
         )
         assert r.returncode == 0, (method, r.stderr)
         assert expect in r.stdout

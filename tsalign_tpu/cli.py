@@ -27,14 +27,68 @@ from .fasta import load_pair
 from .geometry import AlignmentRange
 
 
-def _parse_rq_ranges(text: str) -> AlignmentRange:
-    """Parse `R<a>..<b>Q<c>..<d>` (align.rs --rq-ranges; `|` variants are
-    handled by splitting before this)."""
-    m = re.match(r"^R(\d+)\.\.(\d+)Q(\d+)\.\.(\d+)$", text.strip())
-    if not m:
-        raise ValueError(f"Malformed rq-ranges {text!r}; expected R<a>..<b>Q<c>..<d>")
-    a, b, c, d = map(int, m.groups())
-    return AlignmentRange(a, c, b, d)
+def _parse_rq_ranges(text: str) -> dict:
+    """Parse `--rq-ranges`: one or both of `R<a>..<b>` / `Q<c>..<d>`, each at
+    most once, whitespace tolerated after the letter (align.rs:520-573).
+    Returns {'R': (a, b)} / {'Q': (c, d)} for the parts present."""
+    out = {}
+    pos, s = 0, text.strip()
+    while pos < len(s):
+        m = re.match(r"([RQ])\s*(\d+)\.\.(\d+)", s[pos:])
+        if not m:
+            raise ValueError(
+                f"Malformed rq-ranges {text!r}; expected R<a>..<b> and/or Q<c>..<d>"
+            )
+        key, a, b = m.group(1), int(m.group(2)), int(m.group(3))
+        if key in out:
+            raise ValueError(f"Duplicate {key} range in rq-ranges {text!r}")
+        out[key] = (a, b)
+        pos += m.end()
+    return out
+
+
+def _combine_ranges(args, embedded, n_ref: int, n_qry: int):
+    """Combine the embedded range, --rq-ranges, and the per-sequence
+    offset/limit flags into one AlignmentRange (or None for no-range mode),
+    mirroring parse_range (align.rs:516-599): a per-sequence flag may not be
+    combined with an --rq-ranges range for the same sequence, and embedded
+    ranges may not be combined with either (align.rs:341-344)."""
+    flags = (
+        args.reference_offset,
+        args.query_offset,
+        args.reference_limit,
+        args.query_limit,
+    )
+    if embedded is not None:
+        if args.rq_ranges or any(f is not None for f in flags):
+            raise SystemExit(
+                "--use-embedded-rq-ranges conflicts with --rq-ranges and the "
+                "per-sequence offset/limit flags"
+            )
+        return embedded
+    if not args.rq_ranges and all(f is None for f in flags):
+        return None
+    rq = _parse_rq_ranges(args.rq_ranges) if args.rq_ranges else {}
+    if "R" in rq and (
+        args.reference_offset is not None or args.reference_limit is not None
+    ):
+        raise SystemExit(
+            "--reference-offset/--reference-limit conflict with a reference "
+            "range given via --rq-ranges"
+        )
+    if "Q" in rq and (args.query_offset is not None or args.query_limit is not None):
+        raise SystemExit(
+            "--query-offset/--query-limit conflict with a query range given "
+            "via --rq-ranges"
+        )
+    r_lo, r_hi = rq.get("R", (0, n_ref))
+    q_lo, q_hi = rq.get("Q", (0, n_qry))
+    return AlignmentRange(
+        args.reference_offset if args.reference_offset is not None else r_lo,
+        args.query_offset if args.query_offset is not None else q_lo,
+        args.reference_limit if args.reference_limit is not None else r_hi,
+        args.query_limit if args.query_limit is not None else q_hi,
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -71,10 +125,20 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--max-template-switches", type=int, default=None)
     a.add_argument("--rq-ranges", default=None)
     a.add_argument("--use-embedded-rq-ranges", action="store_true")
+    # per-sequence range flags (align.rs:180-201); combined with --rq-ranges
+    # exactly as parse_range (align.rs:516-599): a flag may not be given for a
+    # sequence whose range was already set via --rq-ranges
+    a.add_argument("--reference-offset", type=int, default=None)
+    a.add_argument("--query-offset", type=int, default=None)
+    a.add_argument("--reference-limit", type=int, default=None)
+    a.add_argument("--query-limit", type=int, default=None)
     a.add_argument("--prune-range", action="store_true")
     a.add_argument("--dont-extend-beyond-range", action="store_true")
     # strategy selectors, accepted for CLI parity (the dense engine computes
     # the same optimum without the A* pruning strategies)
+    a.add_argument("--ts-node-ord-strategy", default="anti-diagonal",
+                   choices=["anti-diagonal"])  # node expansion order; the
+    # dense engine has no expansion order (align.rs:105)
     a.add_argument("--ts-min-length-strategy", default="lookahead")
     a.add_argument("--ts-chaining-strategy", default="none")
     a.add_argument("--ts-total-length-strategy", default="maximise")
@@ -135,9 +199,7 @@ def cmd_align(args) -> int:
         skip_characters=args.skip_characters,
         use_embedded_rq_ranges=args.use_embedded_rq_ranges,
     )
-    rng = embedded
-    if args.rq_ranges:
-        rng = _parse_rq_ranges(args.rq_ranges)
+    rng = _combine_ranges(args, embedded, len(ref_rec.sequence), len(qry_rec.sequence))
 
     if args.alignment_method == "a-star-chain-ts":
         if args.force_no_preprocessing and args.cache_directory:

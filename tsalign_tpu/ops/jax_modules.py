@@ -25,6 +25,7 @@ vector code.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import List, NamedTuple, Optional, Tuple
@@ -52,7 +53,11 @@ _PK = ("Reference", "Query")
 
 def _pallas_default() -> bool:
     """Use the Pallas module kernel on real TPU backends (the CPU backend
-    would need interpret mode, which is slower than the XLA scan)."""
+    would need interpret mode, which is slower than the XLA scan).
+    TSALIGN_NO_PALLAS=1 forces the XLA scan path (escape hatch for shapes
+    whose VMEM footprint is near the kernel's budget)."""
+    if os.environ.get("TSALIGN_NO_PALLAS"):
+        return False
     try:
         plat = jax.default_backend()
     except Exception:

@@ -112,16 +112,7 @@ class JaxPrimarySweep:
         if self.F == 1 and self._pallas_ok():
             from .pallas_sweep import sweep_pallas_flankless
 
-            sub, do, de = self._rows["primary"]
-            n_rows = self.n_r + 1
-            Wq = self.n_q + 1
-            sub_rows = np.full((n_rows, Wq), int(DEV_INF), np.int32)
-            sub_rows[:, : self.n_q] = sub
-            dd = np.stack([do, de], axis=1).astype(np.int32)
-            io = np.full(Wq, int(DEV_INF), np.int32)
-            ie = np.full(Wq, int(DEV_INF), np.int32)
-            io[: self.n_q] = self._ins["primary"][0]
-            ie[: self.n_q] = self._ins["primary"][1]
+            sub_rows, dd, io, ie = self.flankless_inputs()
             M = sweep_pallas_flankless(
                 jnp.asarray(sub_rows),
                 jnp.asarray(dd),
@@ -137,6 +128,23 @@ class JaxPrimarySweep:
             "ins": self._ins,
         }
         return _sweep_jit(seeds, arrays, L=self.L, R=self.R, climb=self.climb)
+
+    def flankless_inputs(self):
+        """Row-major flankless (F == 1) sweep inputs shared by the Pallas
+        kernel and the sequence-parallel sharded sweep: per-row substitution
+        costs (row 0 all-INF), per-row del open/extend, and per-column ins
+        open/extend (position n_q padded INF)."""
+        sub, do, de = self._rows["primary"]
+        n_rows = self.n_r + 1
+        Wq = self.n_q + 1
+        sub_rows = np.full((n_rows, Wq), int(DEV_INF), np.int32)
+        sub_rows[:, : self.n_q] = sub
+        dd = np.stack([do, de], axis=1).astype(np.int32)
+        io = np.full(Wq, int(DEV_INF), np.int32)
+        ie = np.full(Wq, int(DEV_INF), np.int32)
+        io[: self.n_q] = self._ins["primary"][0]
+        ie[: self.n_q] = self._ins["primary"][1]
+        return sub_rows, dd, io, ie
 
     def _pallas_ok(self) -> bool:
         from .jax_modules import _pallas_default

@@ -75,18 +75,165 @@ def test_chain_align_matches_full_engine():
     assert res.cost == full
 
 
+_NARROW_CONFIG = """# Limits
+
+left_flank_length = 0
+right_flank_length = 0
+
+# Base Cost
+
+rrf_cost = 3
+rqf_cost = 2
+qrf_cost = 2
+qqf_cost = 3
+rrr_cost = 3
+rqr_cost = 2
+qrr_cost = 2
+qqr_cost = 3
+
+# Jump Costs
+
+RQQROffset
+ -inf -12 13
+  inf   0 inf
+
+RRQQOffset
+ -inf -12 13
+  inf   0 inf
+
+Length
+   0 5 6 7 8 9
+ inf 5 3 1 0 inf
+
+LengthDifference
+ -inf -4 5
+  inf  0 inf
+
+ForwardAntiPrimaryGap
+ -inf   1
+    0 inf
+
+ReverseAntiPrimaryGap
+ -inf
+    0
+
+# Primary Edit Costs
+
+SubstitutionCostTable
+  |  A  C  G  T  N
+--+---------------
+A |  0  2  2  2  0
+C |  2  0  2  2  0
+G |  2  2  0  2  0
+T |  2  2  2  0  0
+N |  0  0  0  0  0
+
+GapOpenCostVector
+ A C G T N
+ 3 3 3 3 3
+
+GapExtendCostVector
+ A C G T N
+ 1 1 1 1 1
+
+# Secondary Forward Edit Costs
+
+SubstitutionCostTable
+  |  A  C  G  T  N
+--+---------------
+A |  0  8  8  8  4
+C |  8  0  8  8  4
+G |  8  8  0  8  4
+T |  8  8  8  0  4
+N |  4  4  4  4  4
+
+GapOpenCostVector
+ A C G T N
+ 9 9 9 9 9
+
+GapExtendCostVector
+ A C G T N
+ 2 2 2 2 2
+
+# Secondary Reverse Edit Costs
+
+SubstitutionCostTable
+  |  A  C  G  T  N
+--+---------------
+A |  0  8  8  8  4
+C |  8  0  8  8  4
+G |  8  8  0  8  4
+T |  8  8  8  0  4
+N |  4  4  4  4  4
+
+GapOpenCostVector
+ A C G T N
+ 9 9 9 9 9
+
+GapExtendCostVector
+ A C G T N
+ 2 2 2 2 2
+
+# Left Flank Edit Costs
+
+SubstitutionCostTable
+  |  A  C  G  T  N
+--+---------------
+A |  0  3  3  3  0
+C |  3  0  3  3  0
+G |  3  3  0  3  0
+T |  3  3  3  0  0
+N |  0  0  0  0  0
+
+GapOpenCostVector
+ A C G T N
+ 4 4 4 4 4
+
+GapExtendCostVector
+ A C G T N
+ 1 1 1 1 1
+
+# Right Flank Edit Costs
+
+SubstitutionCostTable
+  |  A  C  G  T  N
+--+---------------
+A |  0  3  3  3  0
+C |  3  0  3  3  0
+G |  3  3  0  3  0
+T |  3  3  3  0  0
+N |  0  0  0  0  0
+
+GapOpenCostVector
+ A C G T N
+ 4 4 4 4 4
+
+GapExtendCostVector
+ A C G T N
+ 1 1 1 1 1
+"""
+
+
 def test_chain_cli(tmp_path):
+    """CLI wiring of the chained method (narrow-window config so the numpy
+    engine stays fast; TSM planted near the start keeps jump offsets inside
+    the +-12 window)."""
     import os
     import subprocess
     import sys as _sys
 
+    cfgdir = tmp_path / "cfg"
+    cfgdir.mkdir()
+    (cfgdir / "config.tsa").write_text(_NARROW_CONFIG)
+
     rng = np.random.default_rng(4)
     al = get_alphabet("dna-n")
-    n = 200
+    n = 80
     ref = rng.integers(0, 4, size=n)
     qry = ref.copy()
     comp = al.complement_array()
-    qry[80:92] = [comp[c] for c in qry[80:92]][::-1]
+    qry[4:12] = [comp[c] for c in qry[4:12]][::-1]
+    qry[60] = (qry[60] + 1) % 4
     fa = tmp_path / "pair.fa"
     fa.write_text(
         ">ref\n" + al.decode(ref) + "\n>qry\n" + al.decode(qry) + "\n"
@@ -100,6 +247,8 @@ def test_chain_cli(tmp_path):
             "align",
             "-p",
             str(fa),
+            "-c",
+            str(cfgdir),
             "--alignment-method",
             "a-star-chain-ts",
             "--engine",

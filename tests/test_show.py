@@ -59,3 +59,14 @@ def test_svg_is_wellformed_xml():
 def test_error_svg():
     svg = create_error_svg("boom & <bust>")
     xml.dom.minidom.parseString(svg)
+
+
+def test_svg_complements_and_equal_cost_ranges():
+    res = _result_with_tsm()
+    svg = create_ts_svg(res, complements=True, equal_cost_ranges=True)
+    xml.dom.minidom.parseString(svg)
+    assert "ref~" in svg and "qry~" in svg
+    assert 'class="ecr"' in svg
+    # minimum-complement mode still shows the TSM neighbourhood
+    svg2 = create_ts_svg(res)
+    assert "ref~" in svg2

@@ -405,7 +405,12 @@ def cmd_show(args) -> int:
         from .show.svg import create_ts_svg
 
         svg = create_ts_svg(
-            result, no_ts, arrows=args.arrows or True, context=args.context
+            result,
+            no_ts,
+            arrows=args.arrows,
+            context=args.context,
+            complements=args.complements,
+            equal_cost_ranges=args.equal_cost_ranges,
         )
         with open(args.svg_output, "w") as f:
             f.write(svg)

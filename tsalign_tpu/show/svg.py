@@ -29,6 +29,8 @@ _STYLE = """
   .secondary { fill: #06c; }
   .inner { fill: #067; }
   .arrow { stroke: #d70; stroke-width: 1.4; fill: none; marker-end: url(#ah); }
+  .comp { fill: #888; }
+  .ecr { stroke: #0a8; stroke-width: 3.0; opacity: 0.7; }
 """
 
 
@@ -114,9 +116,16 @@ def create_ts_svg(
     no_ts_result: Optional[AlignmentResult] = None,
     arrows: bool = True,
     context: Optional[int] = None,
+    complements: bool = False,
+    equal_cost_ranges: bool = False,
 ) -> str:
     """Render the alignment as an SVG document string
-    (lib_tsshow/src/svg.rs:69 create_ts_svg counterpart)."""
+    (lib_tsshow/src/svg.rs:69 create_ts_svg counterpart).
+
+    complements: render complement rows across the whole alignment instead
+    of just around the template switches (show.rs:57-59 -c); equal_cost_
+    ranges: mark how far each TSM's switchpoints can shift at equal cost
+    (show.rs:66-68 -e)."""
     if not result.has_target:
         return create_error_svg("alignment has no target")
     switches = parse(result)
@@ -126,6 +135,24 @@ def create_ts_svg(
         _Row("ref", rrow),
         _Row("qry", qrow),
     ]
+    # Complement rows: the bare minimum (TSM neighbourhoods) by default,
+    # the full sequences with complements=True.
+    if switches or complements:
+        near = set()
+        if not complements:
+            for s, e in spans:
+                near.update(range(max(0, s - 4), e + 4))
+
+        def comp_row(cells):
+            out = []
+            for col, (ch, cls) in enumerate(cells):
+                show = complements or col in near
+                cc = _complement(ch.upper()).lower() if ch.isalpha() else " "
+                out.append((cc if show else " ", "comp"))
+            return out
+
+        rows.insert(1, _Row("ref~", comp_row(rrow)))
+        rows.insert(3, _Row("qry~", comp_row(qrow)))
     # Per-TSM inner rows (the 2-3 alignment vs the complemented ancestor).
     seqs = result.sequences
     for k, ts in enumerate(switches, 1):
@@ -162,8 +189,9 @@ def create_ts_svg(
     if context is not None and spans:
         lo = max(0, min(s for s, _ in spans) - context)
         hi = max(e for _, e in spans) + context
-        rows[0].cells = rows[0].cells[lo:hi]
-        rows[1].cells = rows[1].cells[lo:hi]
+        for r in rows:
+            if r.label in ("ref", "qry", "ref~", "qry~"):
+                r.cells = r.cells[lo:hi]
         spans = [(s - lo, e - lo) for s, e in spans]
 
     ncols = max((len(r.cells) for r in rows), default=0)
@@ -221,6 +249,23 @@ def create_ts_svg(
                 f'<path class="arrow" d="M{xs:.1f},{ytop + 4:.1f} '
                 f"Q{mid:.1f},{ytop - 8:.1f} {xe:.1f},{ytop + 4:.1f}\"/>"
             )
+    if equal_cost_ranges:
+        # Bars under the query row marking how far each switchpoint pair can
+        # shift at equal cost (EqualCostRange quadruple per TSM).
+        x0 = PAD + label_w
+        ybar = row_y.get("qry", PAD) + CH * 0.35
+        for (s, e), ts in zip(spans, switches):
+            ecr = ts.entrance.equal_cost_range
+            for base, lo_d, hi_d in (
+                (s, ecr.min_start, ecr.max_start),
+                (e, ecr.min_end, ecr.max_end),
+            ):
+                xs = x0 + (base + lo_d) * CW
+                xe = x0 + (base + hi_d) * CW + CW * 0.5
+                out.append(
+                    f'<line class="ecr" x1="{xs:.1f}" y1="{ybar:.1f}" '
+                    f'x2="{xe:.1f}" y2="{ybar:.1f}"/>'
+                )
     out.append("</svg>")
     return "\n".join(out)
 

@@ -104,3 +104,20 @@ def test_engine_empty_sequences():
     ref = np.array([0, 1, 2], np.int8)
     c = engine_cost(cfg, ref, np.array([], np.int8))
     assert c == oracle_cost(cfg, ref, np.array([], np.int8))
+
+
+def test_engines_agree_on_iupac_alphabet():
+    """15-letter IUPAC alphabet (full-size cost tables, degenerate
+    complements like B<->V) through the whole exactness chain."""
+    from tsalign_tpu.jax_engine import JaxAligner
+    from tsalign_tpu.oracle import OracleAligner
+
+    rng = np.random.default_rng(77)
+    al = get_alphabet("dna-iupac")
+    for trial in range(3):
+        cfg = random_config(rng, al)
+        ref, qry = related_pair(rng, al, max_len=8)
+        oc, _ = OracleAligner(cfg, ref, qry).align()
+        nc = DenseAligner(cfg, ref, qry).align().cost
+        jc = JaxAligner(cfg, ref, qry, chunk=8, keep_fields=False).align().cost
+        assert oc == nc == jc, (trial, oc, nc, jc)

@@ -48,7 +48,7 @@ def _measure(q):
 
     def run():
         return JaxAligner(
-            cfg, ref, qry, range_=rng, chunk=64, keep_fields=False
+            cfg, ref, qry, range_=rng, chunk=128, keep_fields=False
         ).align()
 
     res = run()  # cold (compiles; server-side cache persists across runs)

@@ -235,6 +235,12 @@ class JaxAligner:
         if best < INF:
             A_cells[A_cells.astype(np.int64) > best + slack_cells] = int(DEV_INF)
         R_cells = np.full((self.n_r + 1, self.n_q + 1), int(DEV_INF), np.int32)
+        # Two phases: enqueue every kind's chunk scan first (dispatch is
+        # async, so the device pipelines the 8 independent kind programs
+        # back-to-back), then materialize and fold — a per-kind np.array()
+        # inside the launch loop would sync after every kind and serialize
+        # device work with host round-trips.
+        launched = []
         for km in kinds:
             spec = km.spec
             A_mod = A_cells if spec.pk == 0 else A_cells.T
@@ -278,6 +284,10 @@ class JaxAligner:
             Rk_pad = _kind_all_chunks(
                 A_dev, Rk_pad, fixed, e_bases, B_pre, st=km._static, PAD=PAD
             )
+            launched.append((km, Rk_pad, PAD, bases, t_kind))
+        for km, Rk_pad, PAD, bases, t_kind in launched:
+            spec = km.spec
+            n_anti = spec.n_anti
             Rk = np.array(Rk_pad)[:, PAD : PAD + n_anti + 1]
             if logger.isEnabledFor(logging.DEBUG):
                 live = sum(1 for b in bases if b >= 0)

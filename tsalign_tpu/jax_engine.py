@@ -155,11 +155,20 @@ class JaxAligner:
         ] = 0
         return seeds
 
+    def _entry_threshold(self, best: int) -> int:
+        """Exact keep-threshold for TSM entry cells: a path entering a TSM
+        at a cell of value v has total >= v + delta - slack_other, where
+        delta lower-bounds one TSM's (comp) cost and slack bounds the total
+        tie-break discount, so cells above best + slack - max(delta, 0)
+        cannot lie on any optimal or co-optimal path."""
+        slack = self.config.secondary_length_bonus * (self.n_r + self.n_q)
+        delta = max(0, min_tsm_cost_bound(self.config))
+        return best + slack - delta
+
     def _masked_equal(self, A: np.ndarray, B: np.ndarray, best: int) -> bool:
         if best >= INF:
             return np.array_equal(A, B)
-        slack = self.config.secondary_length_bonus * (self.n_r + self.n_q)
-        t = np.int32(min(best + slack, int(DEV_INF) - 1))
+        t = np.int32(min(self._entry_threshold(best), int(DEV_INF) - 1))
         return np.array_equal(np.minimum(A, t + 1), np.minimum(B, t + 1))
 
     def _target_cost(self, M_host: np.ndarray) -> int:
@@ -231,9 +240,10 @@ class JaxAligner:
         # known total (plus the tie-break slack) cannot start a TSM on an
         # optimal path.  This also makes the reentry fields depend only on
         # the sub-threshold region, so the fixpoint can be tested there.
-        slack_cells = self.config.secondary_length_bonus * (self.n_r + self.n_q)
         if best < INF:
-            A_cells[A_cells.astype(np.int64) > best + slack_cells] = int(DEV_INF)
+            A_cells[A_cells.astype(np.int64) > self._entry_threshold(best)] = int(
+                DEV_INF
+            )
         R_cells = np.full((self.n_r + 1, self.n_q + 1), int(DEV_INF), np.int32)
         # Two phases: enqueue every kind's chunk scan first (dispatch is
         # async, so the device pipelines the 8 independent kind programs
@@ -272,11 +282,15 @@ class JaxAligner:
             # length, bounded by the sequence lengths.
             slack = self.config.secondary_length_bonus * (self.n_r + self.n_q)
             thresh = min(best + slack, int(DEV_INF))
+            # per-kind TSM lower bound: at least the kind's base cost, and
+            # at least the global one-TSM bound (both exact; see
+            # _entry_threshold)
+            kind_min = max(spec.base, max(0, min_tsm_cost_bound(self.config)))
             bases = []
             for e0 in range(0, n_e, C):
                 eb = min(e0, n_e - C) if n_e >= C else 0
                 a_min = int(A_mod[:, eb : eb + C].min()) if A_mod.size else int(DEV_INF)
-                bases.append(np.int32(eb) if a_min + spec.base <= thresh else np.int32(-1))
+                bases.append(np.int32(eb) if a_min + kind_min <= thresh else np.int32(-1))
             if all(b < 0 for b in bases):
                 continue
             e_bases = jnp.asarray(bases, jnp.int32)
@@ -354,9 +368,11 @@ class JaxAligner:
         keep(M)
         best = self._target_cost(M)
         logger.debug("round 0 (no-TS sweep): cost=%s %.3fs", best, time.monotonic() - t0)
+        t0 = time.monotonic()
         budget = self._sdel_budget(best)
         self._last_budget = budget
         kinds = self._build_kinds(budget)
+        logger.debug("budget+build_kinds: %.3fs", time.monotonic() - t0)
         delta = min_tsm_cost_bound(self.config)
         for k in range(1, self.max_rounds + 1):
             # Exact early stop: a further improvement needs a path with k

@@ -270,3 +270,23 @@ def test_chain_cli(tmp_path):
 
     res = AlignmentResult.from_toml(out.read_text())
     assert res.has_target
+
+
+def test_chain_align_jax_engine_matches_full():
+    """Chained mode through the device-engine path (poison-bucketed
+    segments, NoPrune over the bucket) equals the full dense engine."""
+    rng = np.random.default_rng(11)
+    al = get_alphabet("dna")
+    cfg = random_config(rng, al, flanks=False)
+    n = 160
+    ref = rng.integers(0, 4, size=n).astype(np.int8)
+    qry = ref.copy()
+    comp = al.complement_array()
+    a, b = 60, 60 + max(3, cfg.template_switch_min_length + 1)
+    qry[a:b] = [comp[c] for c in qry[a:b]][::-1]
+    qry[20] = (qry[20] + 1) % 4
+
+    res = chain_align(cfg, ref, qry, target_segment=48, engine="jax")
+    assert res.segments >= 2
+    assert price_alignment(cfg, ref, qry, res.alignment) == res.cost
+    assert res.cost == DenseAligner(cfg, ref, qry).align().cost

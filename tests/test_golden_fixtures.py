@@ -199,3 +199,35 @@ def test_golden_equal_cost_ranges_match(name):
         if isinstance(t, TemplateSwitchEntrance)
     ]
     assert golden == ours
+
+
+def test_cli_cost_limit_without_target(tmp_path):
+    """--cost-limit below the optimum yields WithoutTarget/ExceededCostLimit
+    (generic_a_star lib.rs:167-187 result semantics)."""
+    out = tmp_path / "out.toml"
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "tsalign_tpu.cli",
+            "align",
+            "-p",
+            reference_path("test_files", "twin_10_ts.fa"),
+            "-c",
+            reference_path("sample_tsa_config"),
+            "--engine",
+            "numpy",
+            "--cost-limit",
+            "3",
+            "-o",
+            str(out),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=_CPU_ENV,
+    )
+    assert r.returncode == 0, r.stderr
+    text = out.read_text()
+    assert 'type = "WithoutTarget"' in text
+    assert 'astar_result_type = "ExceededCostLimit"' in text

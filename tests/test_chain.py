@@ -290,3 +290,46 @@ def test_chain_align_jax_engine_matches_full():
     assert res.segments >= 2
     assert price_alignment(cfg, ref, qry, res.alignment) == res.cost
     assert res.cost == DenseAligner(cfg, ref, qry).align().cost
+
+
+def test_preprocess_cli_and_force_no_preprocessing(tmp_path):
+    """preprocess writes the sha1-keyed plan cache; --force-no-preprocessing
+    refuses to run chained mode without one (util.rs:46-66 cache semantics)."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    cfgdir = tmp_path / "cfg"
+    cfgdir.mkdir()
+    (cfgdir / "config.tsa").write_text(_NARROW_CONFIG)
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    r = subprocess.run(
+        [
+            _sys.executable, "-m", "tsalign_tpu.cli", "preprocess",
+            "-c", str(cfgdir), "--cache-directory", str(cache),
+            "--max-n", "256",
+        ],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert r.returncode == 0, r.stderr
+    plans = list(cache.glob("*-plan.tsc.json"))
+    assert len(plans) == 1
+
+    # --force-no-preprocessing with an EMPTY cache dir must refuse
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    fa = tmp_path / "p.fa"
+    fa.write_text(">r\nACGTACGTACGT\n>q\nACGTACGTACGT\n")
+    r2 = subprocess.run(
+        [
+            _sys.executable, "-m", "tsalign_tpu.cli", "align",
+            "-p", str(fa), "-c", str(cfgdir),
+            "--alignment-method", "a-star-chain-ts", "--engine", "numpy",
+            "--force-no-preprocessing", "--cache-directory", str(empty),
+        ],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert r2.returncode == 2
+    assert "no preprocessing cache" in r2.stderr

@@ -256,8 +256,18 @@ def align(
     alphabet: str = "dna-n",
     **kwargs,
 ) -> TSPairwiseAlignment:
-    """Module-level convenience (python/tsalign/__init__.py parity)."""
-    a = Aligner(alphabet=alphabet)
+    """Module-level convenience (python/tsalign/__init__.py parity).
+
+    Keyword arguments matching Aligner settings (engine, no_ts, strategy
+    selectors, chunk, ...) configure the aligner, mirroring the reference
+    binding's depythonized settings struct (python_bindings/src/lib.rs:66-91);
+    the rest (range_, cost_limit, ...) go to the per-call align()."""
+    import dataclasses
+
+    setting_names = {f.name for f in dataclasses.fields(Aligner)}
+    settings = {k: v for k, v in kwargs.items() if k in setting_names}
+    call_kwargs = {k: v for k, v in kwargs.items() if k not in setting_names}
+    a = Aligner(alphabet=alphabet, **settings)
     if costs is not None:
         a.set_costs_parse(costs)
-    return a.align(reference, query, **kwargs)
+    return a.align(reference, query, **call_kwargs)

@@ -251,6 +251,10 @@ class JaxAligner:
         # inside the launch loop would sync after every kind and serialize
         # device work with host round-trips.
         launched = []
+        # The entry field is one of only two tensors (A or A^T, possibly
+        # column-padded); transfer each distinct (orientation, width) once
+        # per round instead of once per kind.
+        a_dev_cache = {}
         for km in kinds:
             spec = km.spec
             A_mod = A_cells if spec.pk == 0 else A_cells.T
@@ -261,7 +265,11 @@ class JaxAligner:
                 A_mod = np.pad(
                     A_mod, ((0, 0), (0, C - n_e)), constant_values=int(DEV_INF)
                 )
-            A_dev = jnp.asarray(np.ascontiguousarray(A_mod))
+            a_key = (spec.pk, A_mod.shape[1])
+            A_dev = a_dev_cache.get(a_key)
+            if A_dev is None:
+                A_dev = jnp.asarray(np.ascontiguousarray(A_mod))
+                a_dev_cache[a_key] = A_dev
             PAD = max(0, -km.s_lo)
             width = PAD + n_anti + 1 + max(0, C - 1 + km.s_hi)
             Rk_pad = jnp.full((spec.n_p + 1, width), DEV_INF, jnp.int32)

@@ -52,9 +52,14 @@ def _measure(q):
         ).align()
 
     res = run()  # cold (compiles; server-side cache persists across runs)
-    t0 = time.monotonic()
-    res = run()
-    wall = time.monotonic() - t0
+    # best-of-3 warm runs: the TPU relay in this environment adds several
+    # seconds of run-to-run jitter (RPC queue state), so the minimum is the
+    # stable estimate of the engine's wall time
+    wall = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        res = run()
+        wall = min(wall, time.monotonic() - t0)
     q.put({"cost": res.cost, "wall": wall})
 
 

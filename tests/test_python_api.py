@@ -30,3 +30,16 @@ def test_align_custom_costs_string():
     cfg_text = open("/root/reference/sample_tsa_config/config.tsa").read()
     res = tsalign_tpu.align("ACGTTT", "ACGTTT", costs=cfg_text, engine="numpy")
     assert res.stats()["cost"] == 0
+
+
+def test_memory_limit_exceeded():
+    """A tiny --memory-limit yields ExceededMemoryLimit/WithoutTarget
+    (generic_a_star lib.rs:167-187, 333-335 semantics, field-shaped)."""
+    res = tsalign_tpu.align(
+        "ACGTACGTAC", "ACGTACGTAC", engine="numpy", memory_limit=16
+    )
+    assert res.result.result.type == "ExceededMemoryLimit"
+    assert not res.result.has_target
+    toml = res.result.to_toml()
+    assert 'type = "WithoutTarget"' in toml
+    assert "ExceededMemoryLimit" in toml

@@ -73,6 +73,26 @@ class Aligner:
     def set_costs_parse(self, text: str) -> None:
         self.costs = TemplateSwitchConfig.parse_plain(text, get_alphabet(self.alphabet))
 
+    def _estimate_memory(self, n_r: int, n_q: int) -> int:
+        """Approximate peak working-set bytes of the dense engine: primary
+        field layers + per-kind module planes (counterpart of the
+        reference's approximate node-memory accounting, generic_a_star
+        lib.rs:333-335 — ours is field-shaped, not node-count-shaped)."""
+        cfg = self.costs
+        F = cfg.left_flank_length + cfg.right_flank_length + 1
+        cells = (n_r + 1) * (n_q + 1)
+        field = F * 3 * cells * 4  # int32 device layers
+        width = 1
+        for fn in (cfg.rq_qr_offset_costs, cfg.rr_qq_offset_costs):
+            w = fn.finite_window()
+            if w is not None:
+                width = max(width, int(min(w[1], 2**31)) - int(w[0]) + 1)
+        lmax = cfg.length_costs.maximum_finite_input()
+        L = int(lmax) if lmax is not None else 1
+        kinds = 8
+        module = kinds * self.chunk * width * max(L, 1) * 4
+        return 3 * field + module
+
     def _run_engine(
         self,
         ref_arr,
@@ -151,6 +171,33 @@ class Aligner:
         ref_arr = al.encode(reference.upper())
         qry_arr = al.encode(query.upper())
         max_ts = 0 if self.no_ts else max_template_switches
+
+        if memory_limit is not None:
+            est = self._estimate_memory(len(ref_arr), len(qry_arr))
+            if est > memory_limit:
+                rng0 = range_ or AlignmentRange.complete(len(ref_arr), len(qry_arr))
+                return TSPairwiseAlignment(
+                    AlignmentResult.new(
+                        alignment=None,
+                        reference=reference.upper(),
+                        query=query.upper(),
+                        reference_rc=al.reverse_complement_str(reference.upper()),
+                        query_rc=al.reverse_complement_str(query.upper()),
+                        reference_name=reference_name,
+                        query_name=query_name,
+                        reference_offset=rng0.reference_offset,
+                        query_offset=rng0.query_offset,
+                        # max_cost = highest cost expanded before aborting;
+                        # the refusal is up-front, so nothing was searched
+                        result=AStarResultInfo(
+                            type="ExceededMemoryLimit", max_cost=0
+                        ),
+                        duration_seconds=0.0,
+                        opened_nodes=0,
+                        closed_nodes=0,
+                        suboptimal_opened_nodes=0,
+                    )
+                )
 
         t0 = time.monotonic()
         if self.template_switch_descendant_strategy == "only-equal" and (

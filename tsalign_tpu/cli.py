@@ -18,11 +18,9 @@ from __future__ import annotations
 import argparse
 import re
 import sys
-import time
 
 from .alphabet import get_alphabet
 from .config import TemplateSwitchConfig
-from .costs import INF
 from .fasta import load_pair
 from .geometry import AlignmentRange
 

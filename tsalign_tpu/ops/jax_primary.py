@@ -23,7 +23,6 @@ import numpy as np
 from ..config import TemplateSwitchConfig
 from ..costs import INF
 from ..geometry import AlignmentRange
-import jax.numpy as _jnp  # noqa: F401
 from .jaxcommon import DEV_INF, minplus_scan, sat_add, to_device_costs
 from .primary_sweep import GAP_DEL, GAP_INS, GAP_NONE
 

@@ -45,7 +45,7 @@ import numpy as np
 
 from ..config import TemplateSwitchConfig
 from ..costs import INF, CostFunction
-from .primary_sweep import CLAMP, GAP_DEL, GAP_INS, GAP_NONE, _cap, _clamp_inf, min_plus_scan, sat_add
+from .primary_sweep import CLAMP, GAP_DEL, GAP_INS, GAP_NONE, min_plus_scan, sat_add
 
 _PK = ("Reference", "Query")
 _DK = ("Forward", "Reverse")

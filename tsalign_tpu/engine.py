@@ -178,7 +178,15 @@ class DenseAligner:
         best = self._target_cost(M)
         budget = self._sdel_budget(best)
         self._last_budget = budget
+        delta = min_tsm_cost_bound(cfg)
+        lb = self._remaining_bound()
         for k in range(1, self.max_rounds + 1):
+            # Exact early stop: a further improvement needs a path with k
+            # template switches, costing at least k * delta.
+            if delta > 0 and k * delta > best:
+                results.cost = best
+                results.rounds = k
+                return results
             R = self._reentry(M, budget)
             results.reentry_fields.append(R)
             seeds = np.minimum(root, _as_seeds(R, F))
@@ -189,10 +197,43 @@ class DenseAligner:
                 results.cost = best
                 results.rounds = k + 1
                 return results
+            # TSLB-style stop (lower_bounds.py): once the entry field is
+            # stable on every cell that could still start a useful TSM
+            # (A + S <= best, S an admissible start-a-TSM-and-finish bound),
+            # further rounds can only churn cells no optimal or co-optimal
+            # path visits.
+            if lb is not None and best < INF:
+                A_new = self._pruned_entry(M_next, lb.S, best)
+                A_old = self._pruned_entry(M, lb.S, best)
+                if np.array_equal(A_new, A_old):
+                    results.cost = best
+                    results.rounds = k + 1
+                    return results
             M = M_next
         results.cost = best
         results.rounds = self.max_rounds + 1
         return results
+
+    def _remaining_bound(self):
+        """Admissible remaining-cost field (TSLB counterpart; ref
+        lower_bounds/template_switch.rs:75-284), or None when the relaxed
+        value iteration does not apply (zero-cost-TSM configs)."""
+        from .lower_bounds import compute_remaining_bound
+
+        if not hasattr(self, "_lb_cache"):
+            self._lb_cache = compute_remaining_bound(
+                self.config,
+                self.ref,
+                self.qry,
+                self.range.reference_limit,
+                self.range.query_limit,
+            )
+        return self._lb_cache
+
+    def _pruned_entry(self, M: np.ndarray, S: np.ndarray, best: int) -> np.ndarray:
+        A = self._entry_field(M)
+        useful = (A < INF) & (S < INF) & (A + S <= best)
+        return np.where(useful, A, INF)
 
     def align_with_traceback(self):
         result = self.align()

@@ -155,6 +155,49 @@ class JaxAligner:
         ] = 0
         return seeds
 
+    def _remaining_bound(self):
+        """Admissible remaining-cost field (TSLB counterpart, host numpy;
+        ref lower_bounds/template_switch.rs:75-284), or None when the
+        relaxed value iteration does not apply."""
+        if not hasattr(self, "_lb_cache"):
+            from .lower_bounds import compute_remaining_bound
+
+            self._lb_cache = compute_remaining_bound(
+                self.config,
+                self.ref,
+                self.qry,
+                self.range.reference_limit,
+                self.range.query_limit,
+            )
+        return self._lb_cache
+
+    def _pruned_entry(self, M_host: np.ndarray, best: int) -> np.ndarray:
+        """Entry field with every cell that cannot start a TSM on an optimal
+        or co-optimal path masked to DEV_INF.  This is exactly the field
+        `_reentry` consumes, so reentry/seed/sweep outputs are a fixpoint as
+        soon as two consecutive rounds agree on it."""
+        A_cells = M_host[-1].min(axis=0).astype(np.int32).copy()
+        # Primary coordinates only ever increase, so entries beyond the
+        # target limits can never reach the target.
+        A_cells[self.range.reference_limit + 1 :, :] = int(DEV_INF)
+        A_cells[:, self.range.query_limit + 1 :] = int(DEV_INF)
+        if best >= INF:
+            return A_cells
+        lb = self._remaining_bound()
+        if lb is not None:
+            A64 = A_cells.astype(np.int64)
+            useful = (
+                (A64 < int(DEV_INF) // 2)
+                & (lb.S < INF)
+                & (A64 + lb.S <= best)
+            )
+            return np.where(useful, A_cells, np.int32(DEV_INF))
+        # Fallback: global one-TSM delta threshold.
+        thresh = self._entry_threshold(best)
+        return np.where(
+            A_cells.astype(np.int64) > thresh, np.int32(DEV_INF), A_cells
+        )
+
     def _entry_threshold(self, best: int) -> int:
         """Exact keep-threshold for TSM entry cells: a path entering a TSM
         at a cell of value v has total >= v + delta - slack_other, where
@@ -164,12 +207,6 @@ class JaxAligner:
         slack = self.config.secondary_length_bonus * (self.n_r + self.n_q)
         delta = max(0, min_tsm_cost_bound(self.config))
         return best + slack - delta
-
-    def _masked_equal(self, A: np.ndarray, B: np.ndarray, best: int) -> bool:
-        if best >= INF:
-            return np.array_equal(A, B)
-        t = np.int32(min(self._entry_threshold(best), int(DEV_INF) - 1))
-        return np.array_equal(np.minimum(A, t + 1), np.minimum(B, t + 1))
 
     def _target_cost(self, M_host: np.ndarray) -> int:
         v = int(M_host[:, :, self.range.reference_limit, self.range.query_limit].min())
@@ -220,8 +257,9 @@ class JaxAligner:
                         kinds.append(km)
         return kinds
 
-    def _reentry(self, M_host: np.ndarray, kinds: List[JaxKindModule], best: int = INF):
-        """Entry field extraction + all kind pipelines -> reentry cells.
+    def _reentry(self, A_cells: np.ndarray, kinds: List[JaxKindModule], best: int = INF):
+        """Pruned entry field (host, from `_pruned_entry`) + all kind
+        pipelines -> reentry cells.
 
         Each kind runs as one jitted chunk-step with a *traced* chunk offset,
         so all chunks share a single compilation.  All glue (entry-field
@@ -229,20 +267,15 @@ class JaxAligner:
         eager device ops each cost a separate (remote) compilation and the
         gather-style ones proved pathological.
         """
-        A_cells = M_host[-1].min(axis=0).astype(np.int32)  # (n_r+1, n_q+1)
-        # Primary coordinates only ever increase, so entries beyond the
-        # target limits can never reach the target: mask them out (an exact
-        # cut that shrinks the live region sharply for range-restricted runs).
-        A_cells = A_cells.copy()
-        A_cells[self.range.reference_limit + 1 :, :] = int(DEV_INF)
-        A_cells[:, self.range.query_limit + 1 :] = int(DEV_INF)
-        # Per-cell cost cut: entries already costing more than the best
-        # known total (plus the tie-break slack) cannot start a TSM on an
-        # optimal path.  This also makes the reentry fields depend only on
-        # the sub-threshold region, so the fixpoint can be tested there.
-        if best < INF:
-            A_cells[A_cells.astype(np.int64) > self._entry_threshold(best)] = int(
-                DEV_INF
+        # Per-chunk liveness bound: with the TSLB remaining bound, a chunk is
+        # live iff some cell could start a TSM and still finish within best
+        # (A + S <= best); without it, fall back to the global kind minimum.
+        lb = self._remaining_bound() if best < INF else None
+        AS = None
+        if lb is not None and best < INF:
+            A64 = A_cells.astype(np.int64)
+            AS = np.where(
+                (A64 < int(DEV_INF) // 2) & (lb.S < INF), A64 + lb.S, INF
             )
         R_cells = np.full((self.n_r + 1, self.n_q + 1), int(DEV_INF), np.int32)
         # Two phases: enqueue every kind's chunk scan first (dispatch is
@@ -285,20 +318,41 @@ class JaxAligner:
             # Prune chunks that cannot contribute to an optimal path: any
             # reentry value derived from entry cells costing more than the
             # best known total already exceeds the optimum.
-            # Under the total-length tie-break, secondary edges carry a -1
-            # bonus; future TSMs can discount at most the total secondary
-            # length, bounded by the sequence lengths.
-            slack = self.config.secondary_length_bonus * (self.n_r + self.n_q)
-            thresh = min(best + slack, int(DEV_INF))
-            # per-kind TSM lower bound: at least the kind's base cost, and
-            # at least the global one-TSM bound (both exact; see
-            # _entry_threshold)
-            kind_min = max(spec.base, max(0, min_tsm_cost_bound(self.config)))
-            bases = []
-            for e0 in range(0, n_e, C):
-                eb = min(e0, n_e - C) if n_e >= C else 0
-                a_min = int(A_mod[:, eb : eb + C].min()) if A_mod.size else int(DEV_INF)
-                bases.append(np.int32(eb) if a_min + kind_min <= thresh else np.int32(-1))
+            if AS is not None:
+                # TSLB bound: a chunk is live iff one of its entry cells can
+                # start a TSM and still finish within best (A + S <= best).
+                AS_mod = AS if spec.pk == 0 else AS.T
+                if n_e < C:
+                    AS_mod = np.pad(
+                        AS_mod, ((0, 0), (0, C - n_e)), constant_values=INF
+                    )
+                bases = []
+                for e0 in range(0, n_e, C):
+                    eb = min(e0, n_e - C) if n_e >= C else 0
+                    live = (
+                        AS_mod.size and int(AS_mod[:, eb : eb + C].min()) <= best
+                    )
+                    bases.append(np.int32(eb) if live else np.int32(-1))
+            else:
+                # Fallback (no remaining bound): global thresholds.  Under
+                # the total-length tie-break, secondary edges carry a -1
+                # bonus; future TSMs can discount at most the total
+                # secondary length, bounded by the sequence lengths.
+                slack = self.config.secondary_length_bonus * (self.n_r + self.n_q)
+                thresh = min(best + slack, int(DEV_INF))
+                # per-kind TSM lower bound: at least the kind's base cost,
+                # and at least the global one-TSM bound (both exact; see
+                # _entry_threshold)
+                kind_min = max(spec.base, max(0, min_tsm_cost_bound(self.config)))
+                bases = []
+                for e0 in range(0, n_e, C):
+                    eb = min(e0, n_e - C) if n_e >= C else 0
+                    a_min = (
+                        int(A_mod[:, eb : eb + C].min()) if A_mod.size else int(DEV_INF)
+                    )
+                    bases.append(
+                        np.int32(eb) if a_min + kind_min <= thresh else np.int32(-1)
+                    )
             if all(b < 0 for b in bases):
                 continue
             e_bases = jnp.asarray(bases, jnp.int32)
@@ -362,7 +416,7 @@ class JaxAligner:
             self._last_budget = budget
             kinds = self._build_kinds(budget)
             for c in range(1, t + 1):
-                R = self._reentry(M, kinds, best=best)
+                R = self._reentry(self._pruned_entry(M, best), kinds, best=best)
                 keepR(R)
                 seeds = np.minimum(root, self._as_seeds(R))
                 M = self._sweep_host(seeds, c < t)
@@ -382,6 +436,7 @@ class JaxAligner:
         kinds = self._build_kinds(budget)
         logger.debug("budget+build_kinds: %.3fs", time.monotonic() - t0)
         delta = min_tsm_cost_bound(self.config)
+        A = self._pruned_entry(M, best)
         for k in range(1, self.max_rounds + 1):
             # Exact early stop: a further improvement needs a path with k
             # template switches, costing at least k * delta.
@@ -389,21 +444,27 @@ class JaxAligner:
                 res.cost, res.rounds = best, k
                 return res
             t0 = time.monotonic()
-            R = self._reentry(M, kinds, best=best)
+            R = self._reentry(A, kinds, best=best)
             keepR(R)
             seeds = np.minimum(root, self._as_seeds(R))
             M_next = self._sweep_host(seeds, True)
             keep(M_next)
-            best = min(best, self._target_cost(M_next))
-            logger.debug("round %d: cost=%s %.3fs", k, best, time.monotonic() - t0)
-            # Fixpoint on the sub-threshold region only: reentries are
-            # computed exclusively from sub-threshold entries, so stability
-            # there is a true fixpoint of the pruned (target-equivalent)
-            # system; super-threshold churn cannot affect the optimum.
-            if self._masked_equal(M_next, M, best):
+            new_best = min(best, self._target_cost(M_next))
+            logger.debug("round %d: cost=%s %.3fs", k, new_best, time.monotonic() - t0)
+            # TSLB stop: the next reentry depends only on the pruned entry
+            # field (cells that could start a TSM on an optimal or
+            # co-optimal path).  Once that field is stable, reentries,
+            # seeds and sweeps all repeat — a true fixpoint of the
+            # target-equivalent pruned system.
+            A_next = self._pruned_entry(M_next, new_best)
+            if new_best < best:
+                A = self._pruned_entry(M, new_best)
+            best = new_best
+            if np.array_equal(A_next, A):
                 res.cost, res.rounds = best, k + 1
                 return res
             M = M_next
+            A = A_next
         res.cost, res.rounds = best, self.max_rounds + 1
         return res
 

@@ -125,7 +125,7 @@ extern "C" {
 // n) and returns the chain length.
 int64_t tsa_chain(const int64_t* ri, const int64_t* qi, int64_t n, int64_t k,
                   int64_t match_score, int64_t window, int64_t max_gap,
-                  int64_t* out_idx) {
+                  int64_t drift_unit, int64_t* out_idx) {
     if (n == 0) return 0;
     std::vector<int64_t> score(n), parent(n, -1);
     for (int64_t a = 0; a < n; ++a) {
@@ -144,7 +144,7 @@ int64_t tsa_chain(const int64_t* ri, const int64_t* qi, int64_t n, int64_t k,
             int64_t gain = k - overlap;
             int64_t drift = di - dj;
             if (drift < 0) drift = -drift;
-            int64_t cand = score[b] + gain * match_score - drift - mn / 8;
+            int64_t cand = score[b] + gain * match_score - drift * drift_unit - mn / 8;
             if (cand > best) {
                 best = cand;
                 bestp = b;

@@ -293,8 +293,10 @@ def test_chain_align_jax_engine_matches_full():
 
 
 def test_preprocess_cli_and_force_no_preprocessing(tmp_path):
-    """preprocess writes the sha1-keyed plan cache; --force-no-preprocessing
-    refuses to run chained mode without one (util.rs:46-66 cache semantics)."""
+    """preprocess writes the sha1-{k}-{max_n}-keyed plan ladder; chained
+    align CONSUMES it (--force-no-preprocessing succeeds against the
+    populated cache, refuses against an empty one) — the load-else-compute
+    -and-store protocol of a_star_chain_ts.rs:49-70 + util.rs:46-66."""
     import os
     import subprocess
     import sys as _sys
@@ -314,14 +316,34 @@ def test_preprocess_cli_and_force_no_preprocessing(tmp_path):
         capture_output=True, text=True, timeout=120, env=env,
     )
     assert r.returncode == 0, r.stderr
-    plans = list(cache.glob("*-plan.tsc.json"))
-    assert len(plans) == 1
+    plans = sorted(cache.glob("*.tsc.json"))
+    # ladder 256, 128, 64
+    assert len(plans) == 3, plans
 
-    # --force-no-preprocessing with an EMPTY cache dir must refuse
-    empty = tmp_path / "empty"
-    empty.mkdir()
     fa = tmp_path / "p.fa"
     fa.write_text(">r\nACGTACGTACGT\n>q\nACGTACGTACGT\n")
+    # --force-no-preprocessing against the populated cache: the align run
+    # must load the matching (k, max_n) plan instead of recomputing.
+    # n=12 -> max_n=16... below the preprocess ladder floor of 64, so run
+    # the ladder down via a direct plan check instead: the CLI align uses
+    # max_n inferred from the input; make an input long enough to land on
+    # the 64 bucket.
+    seq = "ACGTACGTAC" * 6  # n=60 -> max_n=64, k=choose_k(120)=4
+    fa.write_text(f">r\n{seq}\n>q\n{seq}\n")
+    r1 = subprocess.run(
+        [
+            _sys.executable, "-m", "tsalign_tpu.cli", "align",
+            "-p", str(fa), "-c", str(cfgdir),
+            "--alignment-method", "a-star-chain-ts", "--engine", "numpy",
+            "--force-no-preprocessing", "--cache-directory", str(cache),
+        ],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r1.returncode == 0, r1.stderr
+
+    # --force-no-preprocessing with an EMPTY cache dir must refuse.
+    empty = tmp_path / "empty"
+    empty.mkdir()
     r2 = subprocess.run(
         [
             _sys.executable, "-m", "tsalign_tpu.cli", "align",
@@ -332,4 +354,17 @@ def test_preprocess_cli_and_force_no_preprocessing(tmp_path):
         capture_output=True, text=True, timeout=120, env=env,
     )
     assert r2.returncode == 2
-    assert "no preprocessing cache" in r2.stderr
+    assert "no cache file found" in r2.stderr
+
+    # Without the flag, a cache miss computes AND stores (store-on-miss).
+    r3 = subprocess.run(
+        [
+            _sys.executable, "-m", "tsalign_tpu.cli", "align",
+            "-p", str(fa), "-c", str(cfgdir),
+            "--alignment-method", "a-star-chain-ts", "--engine", "numpy",
+            "--cache-directory", str(empty),
+        ],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r3.returncode == 0, r3.stderr
+    assert list(empty.glob("*.tsc.json"))

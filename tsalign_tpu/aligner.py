@@ -59,7 +59,7 @@ class Aligner:
     alphabet: str = "dna-n"
     template_switch_min_length_strategy: str = "lookahead"  # accepted, ignored
     template_switch_chaining_strategy: str = "none"  # accepted, ignored
-    template_switch_total_length_strategy: str = "maximise"  # tie-break (TODO)
+    template_switch_total_length_strategy: str = "maximise"  # tie-break via K-scaled algebra (_run_engine)
     template_switch_descendant_strategy: str = "any"  # any | only-equal
     no_ts: bool = False
     force_label_correcting: bool = False  # accepted, ignored (dense is exact)

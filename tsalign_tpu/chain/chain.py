@@ -38,8 +38,14 @@ def compute_chain(
     match_score: int = 8,
     window: int = 64,
     max_gap: int = 5000,
+    drift_unit: int = 1,
 ) -> Chain:
-    """Windowed chain DP (minimap-style): score[a] = k*match - gaps."""
+    """Windowed chain DP (minimap-style): score[a] = k*match - gaps.
+
+    `match_score` and `drift_unit` come from the preprocessing plan
+    (chain/plan.py): the cheapest mismatch cost and the cheapest gap-extend
+    cost of the primary table — config-derived slope counterparts of the
+    reference's GapAffineLowerBounds gap pricing."""
     n = len(anchors)
     if n == 0:
         return Chain(anchors.k, np.zeros(0, np.int64), np.zeros(0, np.int64))
@@ -48,7 +54,7 @@ def compute_chain(
     k = anchors.k
     from .native import chain_native
 
-    idx_native = chain_native(i, j, k, match_score, window, max_gap)
+    idx_native = chain_native(i, j, k, match_score, window, max_gap, drift_unit)
     if idx_native is not None:
         return Chain(k, i[idx_native], j[idx_native])
     score = np.full(n, k * match_score, dtype=np.int64)
@@ -63,7 +69,7 @@ def compute_chain(
         ok = (di > 0) & (dj > 0) & (di < max_gap) & (dj < max_gap)
         overlap = np.maximum(0, k - np.minimum(di, dj))
         gain = k - overlap
-        gap_cost = np.abs(di - dj) + np.minimum(di, dj) // 8
+        gap_cost = np.abs(di - dj) * drift_unit + np.minimum(di, dj) // 8
         cand = np.where(ok, score[lo:a] + gain * match_score - gap_cost, -(2**62))
         b = int(np.argmax(cand))
         if cand[b] > score[a]:

@@ -26,6 +26,7 @@ from ..costs import INF
 from ..geometry import AlignmentRange
 from .anchors import Anchors, choose_k
 from .chain import compute_chain, exact_match_runs
+from .plan import infer_max_n, load_or_create_plan
 
 
 @dataclass
@@ -44,11 +45,25 @@ def _window_radius(config: TemplateSwitchConfig) -> int:
         w = fn.finite_window()
         if w is not None:
             r = max(r, abs(int(w[0])), abs(min(int(w[1]), 2**32)))
-    lw = config.length_costs.maximum_finite_input()
-    r += int(lw) if lw is not None else 0
+    dmax = 0
     dw = config.length_difference_costs.finite_window()
     if dw is not None:
-        r += max(abs(int(dw[0])), abs(min(int(dw[1]), 2**32)))
+        dmax = max(abs(int(dw[0])), abs(min(int(dw[1]), 2**32)))
+    lw = config.length_costs.maximum_finite_input()
+    if lw is not None:
+        lmax = int(lw)
+    else:
+        # Length unbounded by its own cost function, but still bounded by
+        # the anti-gap window: the exit walk requires p2 + ldiff in
+        # [Al, Ah] (engine semantics; context.rs:636-707), so the secondary
+        # length p2 <= max Ah - min ldiff <= max |A window| + max |ldiff|.
+        amax = 0
+        for d in ("Forward", "Reverse"):
+            aw = config.anti_primary_gap_costs(d).finite_window()
+            if aw is not None:
+                amax = max(amax, abs(int(aw[0])), abs(min(int(aw[1]), 2**32)))
+        lmax = amax + dmax
+    r += lmax + dmax
     return r + 16
 
 
@@ -58,15 +73,18 @@ def _segment_cuts(
     n_q: int,
     min_run: int,
     target_segment: int,
+    start: Tuple[int, int] = (0, 0),
 ) -> List[Tuple[int, int]]:
     """Cut points (ref, qry) in the middle of long exact runs, spaced at
-    least `target_segment` apart."""
-    cuts = [(0, 0)]
+    least `target_segment` apart, from `start` to (n_r, n_q)."""
+    cuts = [start]
     for r0, q0, length in runs:
         if length < min_run:
             continue
         mid = length // 2
         cr, cq = r0 + mid, q0 + mid
+        if cr >= n_r or cq >= n_q:
+            continue
         if cr - cuts[-1][0] >= target_segment and cq - cuts[-1][1] >= target_segment:
             cuts.append((cr, cq))
     if cuts[-1] != (n_r, n_q):
@@ -90,20 +108,41 @@ def chain_align(
     max_template_switches: Optional[int] = None,
     engine: str = "auto",
     progress: bool = False,
+    range_: Optional[AlignmentRange] = None,
+    cache_directory: Optional[str] = None,
+    force_no_preprocessing: bool = False,
 ) -> ChainAlignResult:
     t_start = time.monotonic()
     ref = np.asarray(reference)
     qry = np.asarray(query)
     n_r, n_q = len(ref), len(qry)
+    if range_ is None:
+        range_ = AlignmentRange.complete(n_r, n_q)
+    ro, qo = range_.reference_offset, range_.query_offset
+    rl, ql = range_.reference_limit, range_.query_limit
     if k is None:
-        k = choose_k(n_r + n_q)
+        k = choose_k((rl - ro) + (ql - qo))
 
-    anchors = Anchors.build(ref, qry, k)
-    chain = compute_chain(anchors)
-    runs = exact_match_runs(chain)
-    radius = _window_radius(config)
-    min_run = 2 * k + 8
-    cuts = _segment_cuts(runs, n_r, n_q, min_run, target_segment)
+    # Planning data: loaded from the preprocessing cache when present, else
+    # derived from the config and stored (a_star_chain_ts.rs:49-70).
+    plan = load_or_create_plan(
+        config,
+        cache_directory,
+        k,
+        infer_max_n(rl - ro, ql - qo),
+        force_no_preprocessing=force_no_preprocessing,
+    )
+
+    # Anchor/chain over the focus range only (the primary alignment is
+    # restricted to it, lib_ts_chainalign sequences.rs primary start/end);
+    # segment context below may still read secondary characters outside it.
+    anchors = Anchors.build(ref[ro:rl], qry[qo:ql], k)
+    chain = compute_chain(
+        anchors, match_score=plan.match_score, drift_unit=plan.drift_unit
+    )
+    runs = [(r0 + ro, q0 + qo, ln) for r0, q0, ln in exact_match_runs(chain)]
+    radius = plan.window_radius
+    cuts = _segment_cuts(runs, rl, ql, plan.min_run, target_segment, start=(ro, qo))
 
     total_cost = 0
     merged = Alignment([])

@@ -27,13 +27,20 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         _TRIED = True
         here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         src = os.path.join(here, "csrc", "anchors.cpp")
-        out = os.path.join(here, "csrc", "libtsanchors.so")
         if not os.path.exists(src):
             return None
         try:
-            if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
+            # Cache keyed by a source content hash (mtimes lie after a
+            # fresh clone) and without -march=native so the binary stays
+            # portable across the machines sharing the checkout.
+            import hashlib
+
+            with open(src, "rb") as f:
+                digest = hashlib.sha1(f.read()).hexdigest()[:16]
+            out = os.path.join(here, "csrc", f"libtsanchors-{digest}.so")
+            if not os.path.exists(out):
                 subprocess.run(
-                    ["g++", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", out],
+                    ["g++", "-O3", "-shared", "-fPIC", src, "-o", out],
                     check=True,
                     capture_output=True,
                 )
@@ -56,6 +63,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         lib.tsa_chain.argtypes = [
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
             ctypes.c_int64,
             ctypes.c_int64,
             ctypes.c_int64,
@@ -108,6 +116,7 @@ def chain_native(
     match_score: int,
     window: int,
     max_gap: int,
+    drift_unit: int = 1,
 ) -> Optional[np.ndarray]:
     """Best-chain anchor indices via the native windowed DP, or None."""
     lib = _build_and_load()
@@ -124,6 +133,7 @@ def chain_native(
         match_score,
         window,
         max_gap,
+        drift_unit,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return out[:n]

@@ -200,18 +200,7 @@ def cmd_align(args) -> int:
     rng = _combine_ranges(args, embedded, len(ref_rec.sequence), len(qry_rec.sequence))
 
     if args.alignment_method == "a-star-chain-ts":
-        if args.force_no_preprocessing and args.cache_directory:
-            import glob
-            import os as _os
-
-            if not glob.glob(_os.path.join(args.cache_directory, "*-plan.tsc.json")):
-                print(
-                    "--force-no-preprocessing given but no preprocessing cache "
-                    f"found in {args.cache_directory}",
-                    file=sys.stderr,
-                )
-                return 2
-        return _cmd_align_chain(args, config, ref_rec, qry_rec)
+        return _cmd_align_chain(args, config, ref_rec, qry_rec, rng)
     if args.alignment_method == "matrix":
         return _cmd_align_matrix(args, config, ref_rec, qry_rec)
     if args.alignment_method == "a-star-gap-affine":
@@ -228,13 +217,16 @@ def cmd_align(args) -> int:
     result = aligner.align(
         ref_rec.sequence,
         qry_rec.sequence,
-        reference_name=ref_rec.id,
-        query_name=qry_rec.id,
+        reference_name=ref_rec.display_name,
+        query_name=qry_rec.display_name,
         range_=rng,
         cost_limit=args.cost_limit,
         memory_limit=args.memory_limit,
         max_template_switches=args.max_template_switches,
         prune_range=args.prune_range,
+        # The reference passes !cli.dont_extend_beyond_range into the
+        # aligner (template_switch_distance_type_selectors.rs:437).
+        extend_beyond_range=not args.dont_extend_beyond_range,
     )
     toml = result.to_toml()
     if args.output:
@@ -248,35 +240,48 @@ def cmd_align(args) -> int:
     return 0
 
 
-def _cmd_align_chain(args, config, ref_rec, qry_rec) -> int:
+def _cmd_align_chain(args, config, ref_rec, qry_rec, rng=None) -> int:
     """Long-sequence chained mode (lib_ts_chainalign counterpart)."""
-    from .aligner import TSPairwiseAlignment
     from .chain import chain_align
     from .result import AlignmentResult, AStarResultInfo
+
+    from .chain.plan import PlanCacheError
 
     al = config.alphabet
     ref = al.encode(ref_rec.sequence)
     qry = al.encode(qry_rec.sequence)
-    res = chain_align(
-        config,
-        ref,
-        qry,
-        k=args.kmer_length,
-        max_template_switches=args.max_template_switches,
-        engine=args.engine,
-        progress=args.log_level in ("debug", "trace"),
-    )
-    info = AStarResultInfo(type="FoundTarget", cost=res.cost)
+    try:
+        res = chain_align(
+            config,
+            ref,
+            qry,
+            k=args.kmer_length,
+            max_template_switches=args.max_template_switches,
+            engine=args.engine,
+            progress=args.log_level in ("debug", "trace"),
+            range_=rng,
+            cache_directory=args.cache_directory,
+            force_no_preprocessing=args.force_no_preprocessing,
+        )
+    except PlanCacheError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    if args.cost_limit is not None and res.cost > args.cost_limit:
+        info = AStarResultInfo(type="ExceededCostLimit", cost_limit=args.cost_limit)
+        alignment = None
+    else:
+        info = AStarResultInfo(type="FoundTarget", cost=res.cost)
+        alignment = res.alignment
     out = AlignmentResult.new(
-        alignment=res.alignment,
+        alignment=alignment,
         reference=ref_rec.sequence,
         query=qry_rec.sequence,
         reference_rc=al.reverse_complement_str(ref_rec.sequence),
         query_rc=al.reverse_complement_str(qry_rec.sequence),
-        reference_name=ref_rec.id,
-        query_name=qry_rec.id,
-        reference_offset=0,
-        query_offset=0,
+        reference_name=ref_rec.display_name,
+        query_name=qry_rec.display_name,
+        reference_offset=rng.reference_offset if rng else 0,
+        query_offset=rng.query_offset if rng else 0,
         result=info,
         duration_seconds=res.duration_seconds,
         opened_nodes=res.anchors,
@@ -286,8 +291,11 @@ def _cmd_align_chain(args, config, ref_rec, qry_rec) -> int:
     if args.output:
         with open(args.output, "w") as f:
             f.write(out.to_toml())
-    print(f"cost: {res.cost}")
-    print(f"segments: {res.segments}  anchors: {res.anchors}")
+    if alignment is not None:
+        print(f"cost: {res.cost}")
+        print(f"segments: {res.segments}  anchors: {res.anchors}")
+    else:
+        print(f"cost limit {args.cost_limit} exceeded (cost {res.cost})")
     print(f"duration_seconds: {res.duration_seconds:.3f}")
     return 0
 
@@ -375,8 +383,8 @@ def _cmd_align_gap_affine(args, config, ref_rec, qry_rec) -> int:
     result = aligner.align(
         ref_rec.sequence,
         qry_rec.sequence,
-        reference_name=ref_rec.id,
-        query_name=qry_rec.id,
+        reference_name=ref_rec.display_name,
+        query_name=qry_rec.display_name,
         cost_limit=args.cost_limit,
     )
     if args.output:
@@ -425,60 +433,36 @@ def cmd_show(args) -> int:
 def cmd_preprocess(args) -> int:
     """Precompute and cache chained-mode planning for a config.
 
-    Counterpart of `tsalign preprocess` (tsalign/src/preprocess.rs): the
-    reference caches chaining lower bounds in sha1-keyed `.tsc` files
-    (tsalign/src/util.rs:46-66).  The dense chained mode derives its
-    planning (TSM locality radius, k ladder, kind windows) directly from
-    the config; this command materializes that planning into a
-    config-hashed cache file so `align --alignment-method a-star-chain-ts`
-    runs (and the operator) can inspect and reuse it.
-    """
-    import hashlib
-    import json as _json
+    Counterpart of `tsalign preprocess` (tsalign/src/preprocess.rs:94-158):
+    walks the max_n ladder (halving from the largest bucket), computes the
+    per-(k, max_n) chain plan and stores it in sha1-keyed `.tsc.json` files
+    that `align --alignment-method a-star-chain-ts` loads back
+    (tsalign/src/util.rs:46-66 cache naming; chain/plan.py)."""
     import os as _os
 
     from .chain.anchors import choose_k
-    from .chain.driver import _window_radius
-    from .ops.tsm_modules import make_kind_spec
+    from .chain.plan import compute_plan, infer_max_n, plan_cache_path
 
     al = get_alphabet("dna-n")
     config = TemplateSwitchConfig.from_path(
         f"{args.configuration_directory}/config.tsa", al
     )
-    digest = hashlib.sha1(config.display().encode()).hexdigest()
-    radius = _window_radius(config)
-    ladder = {}
-    max_n = args.max_n or (1 << 18)
-    n = max_n
+    _os.makedirs(args.cache_directory, exist_ok=True)
+    max_length = args.max_n or (1 << 18)
+    n = infer_max_n(max_length, max_length)
+    wrote = 0
     while n >= 64:
         k = args.k or choose_k(2 * n)
-        kinds = []
-        for pk in (0, 1):
-            for sk in (0, 1):
-                for dk in (0, 1):
-                    spec = make_kind_spec(config, n, n, pk, sk, dk, sdel_budget=64)
-                    if spec is not None:
-                        kinds.append(
-                            {
-                                "pk": pk,
-                                "sk": sk,
-                                "dk": dk,
-                                "min_len": spec.min_len,
-                                "l_max": spec.l_max,
-                                "r_window": [spec.r_lo, spec.r_hi],
-                            }
-                        )
-        ladder[str(n)] = {"k": k, "kinds": len(kinds)}
+        plan = compute_plan(config, k, n)
+        path = plan_cache_path(args.cache_directory, plan.config_sha1, k, n)
+        with open(path, "w") as f:
+            f.write(plan.to_json())
+        wrote += 1
         n //= 2
-    payload = {
-        "config_sha1": digest,
-        "window_radius": radius,
-        "ladder": ladder,
-    }
-    path = _os.path.join(args.cache_directory, f"{digest}-plan.tsc.json")
-    with open(path, "w") as f:
-        _json.dump(payload, f, indent=1)
-    print(f"wrote {path} (radius {radius})")
+    print(
+        f"wrote {wrote} plan files to {args.cache_directory} "
+        f"(radius {plan.window_radius})"
+    )
     return 0
 
 

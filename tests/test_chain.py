@@ -368,3 +368,103 @@ def test_preprocess_cli_and_force_no_preprocessing(tmp_path):
     )
     assert r3.returncode == 0, r3.stderr
     assert list(empty.glob("*.tsc.json"))
+
+
+def test_chain_align_tiebreak_matches_full_engine():
+    """Chained mode applies the maximise-total-length tie-break (K-scaled
+    per segment, align.rs:115-117): (cost, ts_total_length) equals the full
+    engine's scaled run."""
+    rng = np.random.default_rng(21)
+    al = get_alphabet("dna")
+    cfg = random_config(rng, al, flanks=False)
+    n = 140
+    ref = rng.integers(0, 4, size=n).astype(np.int8)
+    qry = ref.copy()
+    comp = al.complement_array()
+    a, b = 50, 50 + max(4, cfg.template_switch_min_length + 2)
+    qry[a:b] = [comp[c] for c in qry[a:b]][::-1]
+
+    res = chain_align(cfg, ref, qry, target_segment=40, engine="numpy")
+
+    K = 1
+    while K < 2 * n + 2:
+        K *= 2
+    comp_full = DenseAligner(cfg.scaled_for_length_tiebreak(K), ref, qry).align().cost
+    cost_full = -(-comp_full // K)
+    len_full = K * cost_full - comp_full
+    assert (res.cost, res.ts_total_length) == (cost_full, len_full)
+
+
+def test_chain_align_verification_fuzz():
+    """Fuzz the cut heuristic: with the verification pass, the stitched
+    (cost, ts_total_length) must equal the full engine's for every random
+    pair — suboptimal cuts are detected and rejoined
+    (chain_align.rs:157-282 convergence analog)."""
+    al = get_alphabet("dna")
+    comp = al.complement_array()
+    for seed in range(4):
+        rng = np.random.default_rng(300 + seed)
+        cfg = random_config(rng, al, flanks=False)
+        n = 100 + int(rng.integers(0, 50))
+        ref = rng.integers(0, 4, size=n).astype(np.int8)
+        qry = ref.copy()
+        # sprinkle mutations + a planted rc stretch
+        for _ in range(int(rng.integers(1, 5))):
+            p = int(rng.integers(0, n))
+            qry[p] = (qry[p] + 1 + int(rng.integers(0, 3))) % 4
+        a = int(rng.integers(10, n - 20))
+        b = a + max(3, cfg.template_switch_min_length + 1)
+        qry[a:b] = [comp[c] for c in qry[a:b]][::-1]
+
+        res = chain_align(cfg, ref, qry, target_segment=24, engine="numpy")
+        assert price_alignment(cfg, ref, qry, res.alignment) == res.cost
+
+        K = 1
+        while K < 2 * n + 2:
+            K *= 2
+        comp_full = DenseAligner(
+            cfg.scaled_for_length_tiebreak(K), ref, qry
+        ).align().cost
+        cost_full = -(-comp_full // K)
+        assert res.cost == cost_full, f"seed {seed}: {res.cost} != {cost_full}"
+        assert res.ts_total_length == K * cost_full - comp_full, f"seed {seed}"
+
+
+def test_chain_align_multi_kb_planted():
+    """Multi-kb chained run (the scale case the segment design exists for):
+    a 6 kb near-identical pair with planted TSM stretches and SNPs aligns
+    at the constructed optimal cost, with one TSM per planted stretch, and
+    the verification pass stays green.  Exact-run interiors short-circuit,
+    so only the divergent islands pay for engine runs."""
+    rng = np.random.default_rng(77)
+    al = get_alphabet("dna")
+    from tsalign_tpu.config import TemplateSwitchConfig
+
+    cfg = TemplateSwitchConfig.parse_plain(_NARROW_CONFIG, get_alphabet("dna-n"))
+    n = 6000
+    ref = rng.integers(0, 4, size=n).astype(np.int8)
+    qry = ref.copy()
+    comp = get_alphabet("dna-n").complement_array()
+    # 5 planted rc stretches of length 8 (reverse TSM cost = base 2) and
+    # 10 SNPs (cost 2 each with the narrow config) spread far apart
+    ts_sites = [500, 1500, 2500, 3500, 4500]
+    for p in ts_sites:
+        qry[p : p + 8] = [comp[c] for c in qry[p : p + 8]][::-1]
+    snp_sites = [250 + 550 * i for i in range(10)]
+    for p in snp_sites:
+        qry[p] = (qry[p] + 1) % 4
+    expected = 2 * len(ts_sites) + 2 * len(snp_sites)
+
+    res = chain_align(cfg, ref, qry, target_segment=256, engine="numpy")
+    assert res.cost == expected, (res.cost, expected)
+    assert price_alignment(cfg, ref, qry, res.alignment) == res.cost
+    n_ts = sum(
+        1
+        for _, t in res.alignment.entries
+        if getattr(t, "__class__", None).__name__ == "TemplateSwitchEntrance"
+        or t == "TemplateSwitchEntrance"
+    )
+    from tsalign_tpu.alignment import is_template_switch_entrance
+
+    n_ts = sum(1 for _, t in res.alignment.entries if is_template_switch_entrance(t))
+    assert n_ts == len(ts_sites), n_ts

@@ -60,3 +60,66 @@ def test_batched_ts_matches_single_pair():
         from tsalign_tpu.costs import INF
 
         assert (g if g < INF else INF) == exp
+
+
+def test_jax_engine_ranged_overshoot_and_return():
+    """Regression: under NoPrune a path may overshoot an interior target
+    limit and template-switch back via a negative anti-gap, so beyond-limit
+    entry cells must not be unconditionally masked (oracle=numpy=0, old
+    jax=3 on this seed)."""
+    from tsalign_tpu.geometry import AlignmentRange
+    from tsalign_tpu.oracle import OracleAligner
+
+    al = get_alphabet("dna")
+    rng = np.random.default_rng(9053)
+    cfg = random_config(rng, al, flanks=False)
+    ref, qry = related_pair(rng, al, max_len=12)
+    rng_obj = AlignmentRange(0, 0, 5, 2)
+    oc = OracleAligner(cfg, ref, qry, range_=rng_obj, max_template_switches=2).align()
+    ocost = oc[0] if isinstance(oc, tuple) else oc
+    nc = DenseAligner(cfg, ref, qry, range_=rng_obj, max_template_switches=2).align().cost
+    jc = (
+        JaxAligner(
+            cfg, ref, qry, range_=rng_obj, max_template_switches=2, chunk=8,
+            keep_fields=False,
+        )
+        .align()
+        .cost
+    )
+    assert ocost == nc == jc, (ocost, nc, jc)
+
+
+def test_jax_engine_ranged_interior_limits_randomized():
+    """Oracle == numpy == jax with random interior target limits (both the
+    overshoot-and-return and plain ranged semantics)."""
+    from tsalign_tpu.geometry import AlignmentRange
+    from tsalign_tpu.oracle import OracleAligner
+
+    al = get_alphabet("dna")
+    for seed in range(10):
+        rng = np.random.default_rng(9000 + seed)
+        cfg = random_config(rng, al, flanks=False)
+        ref, qry = related_pair(rng, al, max_len=11)
+        n_r, n_q = len(ref), len(qry)
+        if n_r < 4 or n_q < 4:
+            continue
+        rl = int(rng.integers(2, n_r + 1))
+        ql = int(rng.integers(2, n_q + 1))
+        rng_obj = AlignmentRange(0, 0, rl, ql)
+        mts = [None, 2][seed % 2]
+        oc = OracleAligner(
+            cfg, ref, qry, range_=rng_obj, max_template_switches=mts
+        ).align()
+        ocost = oc[0] if isinstance(oc, tuple) else oc
+        nc = DenseAligner(
+            cfg, ref, qry, range_=rng_obj, max_template_switches=mts
+        ).align().cost
+        jc = (
+            JaxAligner(
+                cfg, ref, qry, range_=rng_obj, max_template_switches=mts,
+                chunk=8, keep_fields=False,
+            )
+            .align()
+            .cost
+        )
+        assert ocost == nc == jc, (seed, ocost, nc, jc)

@@ -20,7 +20,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..alignment import Alignment
+from ..alignment import PRIMARY_MATCH, Alignment
 from ..config import TemplateSwitchConfig
 from ..costs import INF
 from ..geometry import AlignmentRange
@@ -36,6 +36,8 @@ class ChainAlignResult:
     segments: int
     anchors: int
     duration_seconds: float
+    ts_total_length: int = 0
+    cuts_rejoined: int = 0  # cuts removed by the verification pass
 
 
 def _window_radius(config: TemplateSwitchConfig) -> int:
@@ -75,18 +77,46 @@ def _segment_cuts(
     target_segment: int,
     start: Tuple[int, int] = (0, 0),
 ) -> List[Tuple[int, int]]:
-    """Cut points (ref, qry) in the middle of long exact runs, spaced at
-    least `target_segment` apart, from `start` to (n_r, n_q)."""
+    """Cut points (ref, qry) inside long exact runs, from `start` to
+    (n_r, n_q).
+
+    A qualifying run gets cuts near BOTH ends (and every `target_segment`
+    within), so the run interior becomes fully-exact segments (free via the
+    driver's exact-match short-circuit) and each divergent island between
+    runs gets a tight segment — the engine then only pays for islands,
+    which is what makes long near-identical pairs cheap (the role the
+    anchor-gap decomposition plays in the reference's chain_align.rs)."""
     cuts = [start]
+
+    def try_add(cr: int, cq: int) -> None:
+        if cr >= n_r or cq >= n_q:
+            return
+        if cr - cuts[-1][0] >= 16 and cq - cuts[-1][1] >= 16:
+            cuts.append((cr, cq))
+
+    pad = max(16, min_run)
     for r0, q0, length in runs:
         if length < min_run:
             continue
-        mid = length // 2
-        cr, cq = r0 + mid, q0 + mid
-        if cr >= n_r or cq >= n_q:
-            continue
-        if cr - cuts[-1][0] >= target_segment and cq - cuts[-1][1] >= target_segment:
-            cuts.append((cr, cq))
+        edge = min_run // 2 + 4
+        if length >= 2 * edge + 16:
+            # Candidate cuts: both run ends, plus a pad cut just inside each
+            # end so the island-adjacent exact segments stay narrow (the
+            # verification merge window spans cut-adjacent segments, so
+            # narrow neighbours keep re-verification cheap), plus interior
+            # cuts every `target_segment` (interior exact segments merge via
+            # the exact-match short-circuit for free).
+            pos_list = [edge, edge + pad]
+            pos = edge + pad + target_segment
+            while pos < length - edge - pad:
+                pos_list.append(pos)
+                pos += target_segment
+            pos_list += [length - edge - pad, length - edge]
+            for pos in pos_list:
+                if edge <= pos <= length - edge:
+                    try_add(r0 + pos, q0 + pos)
+        else:
+            try_add(r0 + length // 2, q0 + length // 2)
     if cuts[-1] != (n_r, n_q):
         cuts.append((n_r, n_q))
     return cuts
@@ -97,6 +127,99 @@ def _bucket(n: int) -> int:
     while b < n:
         b *= 2
     return b
+
+
+@dataclass
+class _SegmentOutcome:
+    cost: int  # true (unscaled) optimal cost of the segment
+    ts_length: int  # total TS length of the co-optimal maximum-length path
+    alignment: Alignment
+
+
+def _align_segment(
+    config: TemplateSwitchConfig,
+    ref: np.ndarray,
+    qry: np.ndarray,
+    cut0: Tuple[int, int],
+    cut1: Tuple[int, int],
+    radius: int,
+    use_jax: bool,
+    max_template_switches: Optional[int],
+) -> _SegmentOutcome:
+    """Align one segment [cut0, cut1] with window-radius context, under the
+    K-scaled total-length tie-break algebra (the reference CLI default,
+    align.rs:115-117).  Per-segment scaling composes lexicographically:
+    cuts make segments independent, so the global (cost, -ts_length)
+    optimum is the segment-wise one."""
+    n_r, n_q = len(ref), len(qry)
+    (r0, q0), (r1, q1) = cut0, cut1
+    # Exact-match short-circuit: when the focus pair is identical and every
+    # TSM has positive true cost, the all-match alignment (cost 0, zero TS
+    # length) is the unique lexicographic optimum — most segments of
+    # near-identical long pairs take this path and skip the engine.
+    if (
+        r1 - r0 == q1 - q0
+        and config.left_flank_length == 0
+        and config.right_flank_length == 0
+        and np.array_equal(ref[r0:r1], qry[q0:q1])
+        and (
+            config.primary_edit_costs.substitution[
+                ref[r0:r1], ref[r0:r1]
+            ]
+            == 0
+        ).all()
+    ):
+        from ..engine import min_tsm_cost_bound
+
+        if min_tsm_cost_bound(config) > 0:
+            aln = Alignment([])
+            if r1 > r0:
+                aln.push(PRIMARY_MATCH, r1 - r0)
+            return _SegmentOutcome(cost=0, ts_length=0, alignment=aln)
+    cr0, cq0 = max(0, r0 - radius), max(0, q0 - radius)
+    cr1, cq1 = min(n_r, r1 + radius), min(n_q, q1 + radius)
+    sub_r = ref[cr0:cr1]
+    sub_q = qry[cq0:cq1]
+    if use_jax:
+        P = config.alphabet.size
+        br, bq = _bucket(len(sub_r)), _bucket(len(sub_q))
+        sub_r = np.concatenate([sub_r, np.full(br - len(sub_r), P, sub_r.dtype)])
+        sub_q = np.concatenate([sub_q, np.full(bq - len(sub_q), P, sub_q.dtype)])
+    rng = AlignmentRange(r0 - cr0, q0 - cq0, r1 - cr0, q1 - cq0)
+    K = 1
+    while K < len(sub_r) + len(sub_q) + 2:
+        K *= 2
+    cfg_scaled = config.scaled_for_length_tiebreak(K)
+    kw = dict(
+        range_=rng,
+        # The numpy engine prunes to the focus range (exact context
+        # bounding); the device engine runs NoPrune over the poisoned
+        # bucket so segment shapes share compilations — primary roaming
+        # within the context matches the full-pair NoPrune semantics.
+        max_template_switches=max_template_switches,
+    )
+    comp, aln = None, None
+    if use_jax:
+        try:
+            from ..jax_engine import JaxAligner
+
+            comp, aln = JaxAligner(
+                cfg_scaled, sub_r, sub_q, prune_range=False, **kw
+            ).align_with_traceback()
+        except OverflowError:
+            comp = None  # scaled magnitudes exceed int32: numpy fallback
+    if comp is None:
+        from ..engine import DenseAligner
+
+        comp, aln = DenseAligner(
+            cfg_scaled, sub_r, sub_q, prune_range=True, **kw
+        ).align_with_traceback()
+    if comp >= INF:
+        raise RuntimeError(
+            f"chain_align: segment R[{r0}..{r1}] Q[{q0}..{q1}] has no alignment"
+        )
+    cost = -(-comp // K)
+    return _SegmentOutcome(cost=cost, ts_length=K * cost - comp, alignment=aln)
 
 
 def chain_align(
@@ -111,6 +234,7 @@ def chain_align(
     range_: Optional[AlignmentRange] = None,
     cache_directory: Optional[str] = None,
     force_no_preprocessing: bool = False,
+    verify: bool = True,
 ) -> ChainAlignResult:
     t_start = time.monotonic()
     ref = np.asarray(reference)
@@ -144,64 +268,68 @@ def chain_align(
     radius = plan.window_radius
     cuts = _segment_cuts(runs, rl, ql, plan.min_run, target_segment, start=(ro, qo))
 
-    total_cost = 0
-    merged = Alignment([])
     use_jax = engine in ("auto", "jax")
     if use_jax:
         try:
-            from ..jax_engine import JaxAligner as Engine
+            from ..jax_engine import JaxAligner  # noqa: F401
         except Exception:
-            from ..engine import DenseAligner as Engine
             use_jax = False
-    if not use_jax:
-        from ..engine import DenseAligner as Engine
 
-    segments = 0
-    for (r0, q0), (r1, q1) in zip(cuts, cuts[1:]):
-        segments += 1
-        # context-extended subsequences; the focus range is the segment
-        cr0, cq0 = max(0, r0 - radius), max(0, q0 - radius)
-        cr1, cq1 = min(n_r, r1 + radius), min(n_q, q1 + radius)
-        sub_r = ref[cr0:cr1]
-        sub_q = qry[cq0:cq1]
-        # Pad to power-of-two buckets with the poison char (index ==
-        # alphabet size, pricing INF against everything) so device compiles
-        # are shared across segments while padding stays unreachable.
-        if use_jax:
-            P = config.alphabet.size
-            br, bq = _bucket(len(sub_r)), _bucket(len(sub_q))
-            sub_r = np.concatenate(
-                [sub_r, np.full(br - len(sub_r), P, sub_r.dtype)]
-            )
-            sub_q = np.concatenate(
-                [sub_q, np.full(bq - len(sub_q), P, sub_q.dtype)]
-            )
-        rng = AlignmentRange(r0 - cr0, q0 - cq0, r1 - cr0, q1 - cq0)
+    outcomes: List[_SegmentOutcome] = []
+    for s, (cut0, cut1) in enumerate(zip(cuts, cuts[1:])):
         if progress:
             print(
-                f"segment {segments}: R[{r0}..{r1}] Q[{q0}..{q1}] "
-                f"(ctx {len(sub_r)}x{len(sub_q)})",
+                f"segment {s + 1}/{len(cuts) - 1}: "
+                f"R[{cut0[0]}..{cut1[0]}] Q[{cut0[1]}..{cut1[1]}]",
                 flush=True,
             )
-        eng = Engine(
-            config,
-            sub_r,
-            sub_q,
-            range_=rng,
-            # The numpy engine prunes to the focus range (exact context
-            # bounding); the device engine runs NoPrune over the poisoned
-            # bucket so segment shapes share compilations — primary roaming
-            # within the context matches the full-pair NoPrune semantics.
-            prune_range=not use_jax,
-            max_template_switches=max_template_switches,
-        )
-        cost, aln = eng.align_with_traceback()
-        if cost >= INF:
-            raise RuntimeError(
-                f"chain_align: segment R[{r0}..{r1}] Q[{q0}..{q1}] has no alignment"
+        outcomes.append(
+            _align_segment(
+                config, ref, qry, cut0, cut1, radius, use_jax,
+                max_template_switches,
             )
-        total_cost += cost
-        for nmul, t in aln.entries:
+        )
+    segments = len(outcomes)
+
+    # Verification pass (bounded analog of the reference's iterate-chain /
+    # evaluate-exactly convergence loop, chain_align.rs:157-282): re-align
+    # the merged window across every interior cut and require that the cut
+    # did not lose (cost, -ts_length) optimality; a losing cut is removed
+    # and its merged alignment adopted.  One sweep suffices for the
+    # certificate the stitch claims: every surviving cut is locally optimal
+    # at double-segment scale.
+    cuts_rejoined = 0
+    if verify:
+        i = 1
+        while i < len(cuts) - 1:
+            merged_out = _align_segment(
+                config, ref, qry, cuts[i - 1], cuts[i + 1], radius, use_jax,
+                max_template_switches,
+            )
+            left, right = outcomes[i - 1], outcomes[i]
+            split = (left.cost + right.cost, -(left.ts_length + right.ts_length))
+            joined = (merged_out.cost, -merged_out.ts_length)
+            if joined < split:
+                if progress:
+                    print(
+                        f"verification: cut {cuts[i]} suboptimal "
+                        f"({split} -> {joined}), rejoining",
+                        flush=True,
+                    )
+                del cuts[i]
+                outcomes[i - 1 : i + 1] = [merged_out]
+                cuts_rejoined += 1
+                # re-check the rejoined window against its new neighbours
+                i = max(1, i - 1)
+            else:
+                i += 1
+        segments = len(outcomes)
+
+    total_cost = sum(o.cost for o in outcomes)
+    ts_total_length = sum(o.ts_length for o in outcomes)
+    merged = Alignment([])
+    for o in outcomes:
+        for nmul, t in o.alignment.entries:
             merged.push(t, nmul)
 
     return ChainAlignResult(
@@ -210,4 +338,6 @@ def chain_align(
         segments=segments,
         anchors=len(anchors),
         duration_seconds=time.monotonic() - t_start,
+        ts_total_length=ts_total_length,
+        cuts_rejoined=cuts_rejoined,
     )

@@ -130,12 +130,18 @@ class DenseAligner:
             return None
         return upper_bound // min_step
 
-    def _reentry(self, M: np.ndarray, budget: Optional[int]) -> np.ndarray:
+    def _reentry(self, A: np.ndarray, budget: Optional[int]) -> np.ndarray:
+        """Reentry field from a (possibly TSLB-pruned) entry field `A`.
+
+        Feeding the pruned field is exact: a masked cell provably cannot
+        start a TSM on any optimal or co-optimal path (see `_pruned_entry`),
+        and the cross-kind module sweep compacts to the live cells, so
+        pruning directly shrinks the dominant per-round work."""
         return compute_reentry_fields(
             self.config,
             self.ref,
             self.qry,
-            self._entry_field(M),
+            A,
             self.anti_bounds_ref,
             self.anti_bounds_qry,
             sdel_budget=budget,
@@ -159,7 +165,7 @@ class DenseAligner:
             budget = self._sdel_budget(best)
             self._last_budget = budget
             for c in range(1, t + 1):
-                R = self._reentry(M, budget)
+                R = self._reentry(self._pruned_entry(M, best), budget)
                 results.reentry_fields.append(R)
                 seeds = np.full_like(root, INF)
                 seeds[0, GAP_NONE] = R  # layer_index(-right_flank_length) = 0
@@ -179,7 +185,7 @@ class DenseAligner:
         budget = self._sdel_budget(best)
         self._last_budget = budget
         delta = min_tsm_cost_bound(cfg)
-        lb = self._remaining_bound()
+        A = None
         for k in range(1, self.max_rounds + 1):
             # Exact early stop: a further improvement needs a path with k
             # template switches, costing at least k * delta.
@@ -187,29 +193,29 @@ class DenseAligner:
                 results.cost = best
                 results.rounds = k
                 return results
-            R = self._reentry(M, budget)
+            if A is None:
+                A = self._pruned_entry(M, best)
+            R = self._reentry(A, budget)
             results.reentry_fields.append(R)
             seeds = np.minimum(root, _as_seeds(R, F))
             M_next = self._sweep(seeds, climb=True)
             results.primary_fields.append(M_next)
-            best = min(best, self._target_cost(M_next))
-            if np.array_equal(M_next, M):
+            new_best = min(best, self._target_cost(M_next))
+            # TSLB stop (lower_bounds.py): the next reentry depends only on
+            # the pruned entry field (cells that could start a TSM on an
+            # optimal or co-optimal path).  Once that field is stable,
+            # reentries, seeds and sweeps all repeat — a true fixpoint of
+            # the target-equivalent pruned system.
+            A_next = self._pruned_entry(M_next, new_best)
+            if new_best < best:
+                A = self._pruned_entry(M, new_best)
+            best = new_best
+            if np.array_equal(A_next, A):
                 results.cost = best
                 results.rounds = k + 1
                 return results
-            # TSLB-style stop (lower_bounds.py): once the entry field is
-            # stable on every cell that could still start a useful TSM
-            # (A + S <= best, S an admissible start-a-TSM-and-finish bound),
-            # further rounds can only churn cells no optimal or co-optimal
-            # path visits.
-            if lb is not None and best < INF:
-                A_new = self._pruned_entry(M_next, lb.S, best)
-                A_old = self._pruned_entry(M, lb.S, best)
-                if np.array_equal(A_new, A_old):
-                    results.cost = best
-                    results.rounds = k + 1
-                    return results
             M = M_next
+            A = A_next
         results.cost = best
         results.rounds = self.max_rounds + 1
         return results
@@ -230,10 +236,30 @@ class DenseAligner:
             )
         return self._lb_cache
 
-    def _pruned_entry(self, M: np.ndarray, S: np.ndarray, best: int) -> np.ndarray:
+    def _pruned_entry(self, M: np.ndarray, best: int) -> np.ndarray:
+        """Entry field with every cell that cannot start a TSM on an optimal
+        or co-optimal path masked to INF.
+
+        S is the one-TSM start-here-and-finish bound of the full-grid
+        relaxed fixpoint, so S == INF proves no TSM started at the cell can
+        ever reach the target (sound for ranged NoPrune runs where a path
+        may overshoot a limit and template-switch back).  With an incumbent,
+        A + S > best additionally excludes the cell from optimal and
+        co-optimal paths.  Fallback when the relaxed iteration does not
+        apply: the global one-TSM delta threshold (see
+        jax_engine._entry_threshold)."""
         A = self._entry_field(M)
-        useful = (A < INF) & (S < INF) & (A + S <= best)
-        return np.where(useful, A, INF)
+        lb = self._remaining_bound()
+        if lb is not None:
+            useful = (A < INF) & (lb.S < INF)
+            if best < INF:
+                useful &= A + lb.S <= best
+            return np.where(useful, A, INF)
+        if best >= INF:
+            return A
+        slack = self.config.secondary_length_bonus * (len(self.ref) + len(self.qry))
+        thresh = best + slack - max(0, min_tsm_cost_bound(self.config))
+        return np.where(A > thresh, INF, A)
 
     def align_with_traceback(self):
         result = self.align()

@@ -171,27 +171,52 @@ class JaxAligner:
             )
         return self._lb_cache
 
+    def _axes_can_rewind(self) -> tuple:
+        """(ref_can_decrease, qry_can_decrease): a primary coordinate only
+        ever decreases via a TSM on the *other* primary whose anti-gap is
+        negative (reentry behind the entry on the anti axis).  Conservative:
+        any active kind with a finite negative anti-gap window counts."""
+        neg_ag = any(
+            fn.finite_window() is not None and fn.finite_window()[0] < 0
+            for fn in (
+                self.config.forward_anti_primary_gap_costs,
+                self.config.reverse_anti_primary_gap_costs,
+            )
+        )
+        return (
+            neg_ag and 1 in self.allowed_primaries,  # query-primary TSM moves i
+            neg_ag and 0 in self.allowed_primaries,  # reference-primary TSM moves j
+        )
+
     def _pruned_entry(self, M_host: np.ndarray, best: int) -> np.ndarray:
         """Entry field with every cell that cannot start a TSM on an optimal
         or co-optimal path masked to DEV_INF.  This is exactly the field
         `_reentry` consumes, so reentry/seed/sweep outputs are a fixpoint as
-        soon as two consecutive rounds agree on it."""
+        soon as two consecutive rounds agree on it.
+
+        Soundness: beyond-limit cells are NOT unconditionally masked — under
+        NoPrune a path may overshoot a target limit and template-switch back
+        inside via a negative anti-gap, so the hard slice mask applies only
+        when no active kind can rewind that axis.  The lower-bound mask
+        (S == INF, and A + S > best once an incumbent exists) covers the
+        rewind case exactly: S is the one-TSM start-here-and-finish bound of
+        the full-grid relaxed fixpoint, so S == INF proves no TSM started
+        here can ever reach the target."""
         A_cells = M_host[-1].min(axis=0).astype(np.int32).copy()
-        # Primary coordinates only ever increase, so entries beyond the
-        # target limits can never reach the target.
-        A_cells[self.range.reference_limit + 1 :, :] = int(DEV_INF)
-        A_cells[:, self.range.query_limit + 1 :] = int(DEV_INF)
-        if best >= INF:
-            return A_cells
+        ref_rewind, qry_rewind = self._axes_can_rewind()
+        if not ref_rewind:
+            A_cells[self.range.reference_limit + 1 :, :] = int(DEV_INF)
+        if not qry_rewind:
+            A_cells[:, self.range.query_limit + 1 :] = int(DEV_INF)
         lb = self._remaining_bound()
         if lb is not None:
             A64 = A_cells.astype(np.int64)
-            useful = (
-                (A64 < int(DEV_INF) // 2)
-                & (lb.S < INF)
-                & (A64 + lb.S <= best)
-            )
+            useful = (A64 < int(DEV_INF) // 2) & (lb.S < INF)
+            if best < INF:
+                useful &= A64 + lb.S <= best
             return np.where(useful, A_cells, np.int32(DEV_INF))
+        if best >= INF:
+            return A_cells
         # Fallback: global one-TSM delta threshold.
         thresh = self._entry_threshold(best)
         return np.where(
@@ -430,19 +455,27 @@ class JaxAligner:
         keep(M)
         best = self._target_cost(M)
         logger.debug("round 0 (no-TS sweep): cost=%s %.3fs", best, time.monotonic() - t0)
-        t0 = time.monotonic()
-        budget = self._sdel_budget(best)
-        self._last_budget = budget
-        kinds = self._build_kinds(budget)
-        logger.debug("budget+build_kinds: %.3fs", time.monotonic() - t0)
         delta = min_tsm_cost_bound(self.config)
-        A = self._pruned_entry(M, best)
+        kinds = None
+        A = None
         for k in range(1, self.max_rounds + 1):
             # Exact early stop: a further improvement needs a path with k
-            # template switches, costing at least k * delta.
+            # template switches, costing at least k * delta.  Checked before
+            # any kind/bound construction so trivial (e.g. exact-match)
+            # pairs never pay for them.
             if delta > 0 and k * delta > best:
                 res.cost, res.rounds = best, k
                 return res
+            if kinds is None:
+                t0 = time.monotonic()
+                budget = self._sdel_budget(best)
+                self._last_budget = budget
+                kinds = self._build_kinds(budget)
+                logger.debug(
+                    "budget+build_kinds: %.3fs", time.monotonic() - t0
+                )
+            if A is None:
+                A = self._pruned_entry(M, best)
             t0 = time.monotonic()
             R = self._reentry(A, kinds, best=best)
             keepR(R)

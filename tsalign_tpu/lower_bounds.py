@@ -59,6 +59,7 @@ import numpy as np
 
 from .config import TemplateSwitchConfig
 from .costs import INF, CostFunction
+from .ops.primary_sweep import CLAMP
 from .ops.tsm_modules import make_kind_spec
 
 _PK = ("Reference", "Query")
@@ -240,31 +241,44 @@ def backward_relaxed(
     q_lim: int,
     seed: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """Exact backward DP of the relaxed primary graph.
+    """Exact backward DP of the relaxed primary graph over the FULL grid.
 
-    B[i, j] = min cost from cell (i, j) to (r_lim, q_lim) using diagonal
-    (sub[ref[i], qry[j]]), deletion (step[ref[i]]) and insertion
+    B[i, j] = min cost from cell (i, j) to the target (r_lim, q_lim) using
+    diagonal (sub[ref[i], qry[j]]), deletion (step[ref[i]]) and insertion
     (step[qry[j]]) moves, optionally also dropping to `seed[i, j]`
-    (shortcut landing values).  Cells beyond the limits are unreachable
-    by primary moves (kept INF, matching the engine's beyond-limit entry
-    masking)."""
+    (shortcut landing values).  The grid deliberately extends beyond the
+    limits: under NoPrune the primary roams the full sequences and a TSM
+    with negative anti-gap can bring an overshot path back inside the
+    range, so beyond-limit cells are reachable-from and must carry real
+    values (they stay INF exactly when no shortcut seed rescues them)."""
     n_r, n_q = len(ref), len(qry)
+    nsym = len(step)
+    # Out-of-alphabet characters (the device engines' poison padding char is
+    # alphabet.size) take an extra all-INF table row; per-move costs are
+    # capped at CLAMP (the engines' own convention: accumulations >= _BIG
+    # are infinite) so INF + INF can never overflow int64.
+    sub_p = np.full((nsym + 1, nsym + 1), CLAMP, dtype=np.int64)
+    sub_p[:nsym, :nsym] = np.minimum(sub, CLAMP)
+    step_p = np.full(nsym + 1, CLAMP, dtype=np.int64)
+    step_p[:nsym] = np.minimum(step, CLAMP)
+    ref = np.clip(ref, 0, nsym)
+    qry = np.clip(qry, 0, nsym)
     B = np.full((n_r + 1, n_q + 1), INF, dtype=np.int64)
     B[r_lim, q_lim] = 0
     if seed is not None:
         np.minimum(B, seed, out=B)
-    ins_step = step[qry[:q_lim]] if q_lim else np.zeros(0, dtype=np.int64)
-    for i in range(r_lim, -1, -1):
-        row = B[i, : q_lim + 1]
-        if i < r_lim:
-            below = B[i + 1, : q_lim + 1]
-            dstep = step[ref[i]]
+    ins_step = step_p[qry] if n_q else np.zeros(0, dtype=np.int64)
+    for i in range(n_r, -1, -1):
+        row = B[i]
+        if i < n_r:
+            below = B[i + 1]
+            dstep = step_p[ref[i]]
             np.minimum(row, _capmin(below + dstep), out=row)
-            if q_lim:
-                diag = _capmin(sub[ref[i], qry[:q_lim]] + below[1:])
-                np.minimum(row[:q_lim], diag, out=row[:q_lim])
-        if q_lim:
-            B[i, : q_lim + 1] = _row_suffix_relax(row, ins_step)
+            if n_q:
+                diag = _capmin(sub_p[ref[i], qry] + below[1:])
+                np.minimum(row[:n_q], diag, out=row[:n_q])
+        if n_q:
+            B[i] = _row_suffix_relax(row, ins_step)
     return B
 
 

@@ -255,32 +255,41 @@ class ModuleSweep:
         self.mask = mask
         self.W = W
 
-    def _sdel_close(self, T: np.ndarray) -> np.ndarray:
+    def _sdel_close(
+        self,
+        T: np.ndarray,
+        sdel_open: Optional[np.ndarray] = None,
+        sdel_ext: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
         """Apply the secondary-deletion chain along r in place; returns T.
 
         T has shape (3, ..., W).  Deletions move r by +1 (forward) / -1
         (reverse); open from NONE/INS, extend from DEL, costs keyed by the
-        consumed char at the source state.
+        consumed char at the source state.  `sdel_open`/`sdel_ext` default to
+        the dense per-(b, r) tables; the compacted cross sweep passes
+        per-live-pair gathers instead.
         """
         if not self.allow_sdel:
             return T
+        if sdel_open is None:
+            sdel_open, sdel_ext = self.sdel_open, self.sdel_ext
         spec = self.spec
         flip = spec.dk == 1
         open_src = np.minimum(T[GAP_NONE], T[GAP_INS])
         if not flip:
             # into r from r-1
             cand = np.full_like(T[GAP_DEL], INF)
-            cand[..., 1:] = sat_add(open_src[..., :-1], self.sdel_open[..., :-1])
+            cand[..., 1:] = sat_add(open_src[..., :-1], sdel_open[..., :-1])
             ext_into = np.full_like(T[GAP_DEL], INF)
-            ext_into[..., 1:] = self.sdel_ext[..., :-1]
+            ext_into[..., 1:] = sdel_ext[..., :-1]
             cand = np.minimum(cand, T[GAP_DEL])
             ext_into[..., 0] = CLAMP
             T[GAP_DEL] = min_plus_scan(cand, ext_into, axis=-1)
         else:
             cand = np.full_like(T[GAP_DEL], INF)
-            cand[..., :-1] = sat_add(open_src[..., 1:], self.sdel_open[..., 1:])
+            cand[..., :-1] = sat_add(open_src[..., 1:], sdel_open[..., 1:])
             ext_into = np.full_like(T[GAP_DEL], INF)
-            ext_into[..., :-1] = self.sdel_ext[..., 1:]
+            ext_into[..., :-1] = sdel_ext[..., 1:]
             cand = np.minimum(cand, T[GAP_DEL])
             ext_into[..., -1] = CLAMP
             T[GAP_DEL] = _flip_scan(cand, ext_into)
@@ -293,24 +302,18 @@ class ModuleSweep:
         (cross kinds, requires A_mod[p1, e_anti]).
         """
         spec = self.spec
-        n_p, n_s, W = spec.n_p, spec.n_s, self.W
+        n_s, W = spec.n_s, self.W
         L = spec.l_max
 
-        if spec.same_seq:
-            # batch axis b doubles as p1 (n_p == n_s).
-            T = np.full((3, n_s + 1, W), INF, dtype=np.int64)
-            T[GAP_NONE] = spec.seed
-            B = np.full((n_s + 1, L + 1), INF, dtype=np.int64)
-            p_of_b = np.arange(n_s + 1)
-            extra = ()
-        else:
-            if A_mod is None:
-                raise ValueError("cross-sequence module requires the entry field")
-            T = np.full((3, n_p + 1, n_s + 1, W), INF, dtype=np.int64)
-            T[GAP_NONE] = sat_add(A_mod[:, :, None], spec.seed[None, :, :])
-            B = np.full((n_p + 1, n_s + 1, L + 1), INF, dtype=np.int64)
-            p_of_b = np.arange(n_p + 1)[:, None]
-            extra = (slice(None),)
+        if not spec.same_seq:
+            return self._sweep_cross(A_mod)
+
+        # batch axis b doubles as p1 (n_p == n_s).
+        T = np.full((3, n_s + 1, W), INF, dtype=np.int64)
+        T[GAP_NONE] = spec.seed
+        B = np.full((n_s + 1, L + 1), INF, dtype=np.int64)
+        p_of_b = np.arange(n_s + 1)
+        n_p = spec.n_p
 
         for level in range(L + 1):
             T = self._sdel_close(T)
@@ -325,10 +328,7 @@ class ModuleSweep:
             # match/substitution: also consumes the secondary char at source r
             src_any = T.min(axis=0)
             sub = sat_add(
-                sat_add(
-                    self.sub_table[pchar[..., None], self.schar[(np.newaxis,) * len(extra)]],
-                    self.mask[(np.newaxis,) * len(extra)],
-                ),
+                sat_add(self.sub_table[pchar[..., None], self.schar], self.mask),
                 pmask[..., None],
             )
             diag = sat_add(src_any, sub)
@@ -340,6 +340,63 @@ class ModuleSweep:
             # secondary insertion: consumes primary char only, r unchanged
             io = sat_add(self.pgap_open[pchar], pmask)[..., None]
             ie = sat_add(self.pgap_ext[pchar], pmask)[..., None]
+            newT[GAP_INS] = np.minimum(
+                sat_add(np.minimum(T[GAP_NONE], T[GAP_DEL]), io),
+                sat_add(T[GAP_INS], ie),
+            )
+            T = newT
+
+        return B
+
+    def _sweep_cross(self, A_mod: Optional[np.ndarray]) -> np.ndarray:
+        """Cross-sequence module scan, compacted to live (p1, b) pairs.
+
+        The module DP is elementwise over (entry primary p1, secondary start
+        b) — only the r axis couples states — so pairs whose entry value is
+        infinite (most of the grid once TSLB pruning has masked the entry
+        field) are dropped up front instead of carrying full (n_p, n_s, W)
+        temporaries through every level.
+        """
+        if A_mod is None:
+            raise ValueError("cross-sequence module requires the entry field")
+        spec = self.spec
+        n_p, n_s, W = spec.n_p, spec.n_s, self.W
+        L = spec.l_max
+        B = np.full((n_p + 1, n_s + 1, L + 1), INF, dtype=np.int64)
+        seed_any = (spec.seed < CLAMP).any(axis=-1)
+        live = (A_mod < CLAMP) & seed_any[None, :]
+        p_idx, b_idx = np.nonzero(live)
+        if p_idx.size == 0:
+            return B
+        T = np.full((3, p_idx.size, W), INF, dtype=np.int64)
+        T[GAP_NONE] = sat_add(A_mod[p_idx, b_idx][:, None], spec.seed[b_idx])
+        schar = self.schar[b_idx]
+        smask = self.mask[b_idx]
+        so = self.sdel_open[b_idx] if self.allow_sdel else None
+        se = self.sdel_ext[b_idx] if self.allow_sdel else None
+
+        for level in range(L + 1):
+            T = self._sdel_close(T, so, se)
+            B[p_idx, b_idx, level] = T.min(axis=0).min(axis=-1)
+            if level == L:
+                break
+            pidx = p_idx + level
+            pvalid = pidx < n_p
+            pchar = np.where(pvalid, self.P[np.clip(pidx, 0, max(n_p - 1, 0))], 0)
+            pmask = np.where(pvalid, 0, INF)
+            src_any = T.min(axis=0)
+            sub = sat_add(
+                sat_add(self.sub_table[pchar[:, None], schar], smask),
+                pmask[:, None],
+            )
+            diag = sat_add(src_any, sub)
+            newT = np.full_like(T, INF)
+            if spec.dk == 0:
+                newT[GAP_NONE, :, 1:] = diag[:, :-1]
+            else:
+                newT[GAP_NONE, :, :-1] = diag[:, 1:]
+            io = sat_add(self.pgap_open[pchar], pmask)[:, None]
+            ie = sat_add(self.pgap_ext[pchar], pmask)[:, None]
             newT[GAP_INS] = np.minimum(
                 sat_add(np.minimum(T[GAP_NONE], T[GAP_DEL]), io),
                 sat_add(T[GAP_INS], ie),

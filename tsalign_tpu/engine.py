@@ -137,6 +137,8 @@ class DenseAligner:
         start a TSM on any optimal or co-optimal path (see `_pruned_entry`),
         and the cross-kind module sweep compacts to the live cells, so
         pruning directly shrinks the dominant per-round work."""
+        if not hasattr(self, "_module_cache"):
+            self._module_cache = {}
         return compute_reentry_fields(
             self.config,
             self.ref,
@@ -147,6 +149,7 @@ class DenseAligner:
             sdel_budget=budget,
             allow_secondary_deletions=self.allow_sdel,
             allowed_primaries=self.allowed_primaries,
+            cache=self._module_cache,
         )
 
     def align(self) -> EngineResult:
@@ -190,6 +193,12 @@ class DenseAligner:
             # Exact early stop: a further improvement needs a path with k
             # template switches, costing at least k * delta.
             if delta > 0 and k * delta > best:
+                results.cost = best
+                results.rounds = k
+                return results
+            # TSLB improvement stop: no entry cell can start a further TSM
+            # and still strictly beat the incumbent.
+            if not self._can_improve(M, best):
                 results.cost = best
                 results.rounds = k
                 return results
@@ -260,6 +269,22 @@ class DenseAligner:
         slack = self.config.secondary_length_bonus * (len(self.ref) + len(self.qry))
         thresh = best + slack - max(0, min_tsm_cost_bound(self.config))
         return np.where(A > thresh, INF, A)
+
+    def _can_improve(self, M: np.ndarray, best: int) -> bool:
+        """TSLB improvement test (the reference's frontier-pruning role,
+        lower_bounds/template_switch.rs:75-284): any path with more TSMs
+        than the completed rounds enters its next TSM from a value in M's
+        entry field, costing at least A + S.  If no cell has A + S < best,
+        no further round can beat the incumbent — equal-cost paths cannot
+        change the reported optimum (the total-length tie-break is already
+        internal to the comp algebra, so a tie-break-better path has
+        strictly smaller comp and keeps a strict cell alive)."""
+        lb = self._remaining_bound()
+        if lb is None or best >= INF:
+            return True
+        A = self._entry_field(M)
+        mask = (A < INF) & (lb.S < INF)
+        return bool(np.any(mask & (A + lb.S < best)))
 
     def align_with_traceback(self):
         result = self.align()

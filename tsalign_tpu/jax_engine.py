@@ -223,6 +223,17 @@ class JaxAligner:
             A_cells.astype(np.int64) > thresh, np.int32(DEV_INF), A_cells
         )
 
+    def _can_improve(self, M_host: np.ndarray, best: int) -> bool:
+        """TSLB improvement test (see engine.DenseAligner._can_improve):
+        False once no entry cell can start a further TSM and still strictly
+        beat the incumbent."""
+        lb = self._remaining_bound()
+        if lb is None or best >= INF:
+            return True
+        A64 = M_host[-1].min(axis=0).astype(np.int64)
+        mask = (A64 < int(DEV_INF) // 2) & (lb.S < INF)
+        return bool(np.any(mask & (A64 + lb.S < best)))
+
     def _entry_threshold(self, best: int) -> int:
         """Exact keep-threshold for TSM entry cells: a path entering a TSM
         at a cell of value v has total >= v + delta - slack_other, where
@@ -464,6 +475,11 @@ class JaxAligner:
             # any kind/bound construction so trivial (e.g. exact-match)
             # pairs never pay for them.
             if delta > 0 and k * delta > best:
+                res.cost, res.rounds = best, k
+                return res
+            # TSLB improvement stop: no entry cell can start a further TSM
+            # and still strictly beat the incumbent.
+            if not self._can_improve(M, best):
                 res.cost, res.rounds = best, k
                 return res
             if kinds is None:

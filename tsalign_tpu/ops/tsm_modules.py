@@ -307,6 +307,8 @@ class ModuleSweep:
 
         if not spec.same_seq:
             return self._sweep_cross(A_mod)
+        if getattr(self, "_b_cache", None) is not None:
+            return self._b_cache
 
         # batch axis b doubles as p1 (n_p == n_s).
         T = np.full((3, n_s + 1, W), INF, dtype=np.int64)
@@ -346,9 +348,36 @@ class ModuleSweep:
             )
             T = newT
 
+        # Entry-independent (keyed by p1 only), hence round-invariant.
+        self._b_cache = B
         return B
 
-    def _sweep_cross(self, A_mod: Optional[np.ndarray]) -> np.ndarray:
+    def sweep_sparse(self, A_mod: np.ndarray):
+        """Sparse module output: (p1s, es, ls, vals) triples of
+        D3[p1, e_anti, l] = entry + module cost, restricted to finite
+        entries.  Returns None when entry occupancy is too high for the
+        sparse route to win (callers fall back to the dense sweep)."""
+        spec = self.spec
+        n_p, n_s = spec.n_p, spec.n_s
+        if spec.same_seq:
+            live = A_mod < CLAMP
+            if int(live.sum()) * 4 > (n_p + 1) * (n_s + 1):
+                return None
+            B = self.sweep()  # (n_p+1, L+1): module cost keyed by p1
+            p1s, es = np.nonzero(live)
+            Bsub = B[p1s]  # (T, L+1)
+            t_idx, ls = np.nonzero(Bsub < CLAMP)
+            vals = A_mod[p1s, es][t_idx] + Bsub[t_idx, ls]
+            return p1s[t_idx], es[t_idx], ls, vals
+        seed_any = (spec.seed < CLAMP).any(axis=-1)
+        live = (A_mod < CLAMP) & seed_any[None, :]
+        if int(live.sum()) * 4 > (n_p + 1) * (n_s + 1):
+            return None
+        return self._sweep_cross(A_mod, sparse=True)
+
+    def _sweep_cross(
+        self, A_mod: Optional[np.ndarray], sparse: bool = False
+    ):
         """Cross-sequence module scan, compacted to live (p1, b) pairs.
 
         The module DP is elementwise over (entry primary p1, secondary start
@@ -362,12 +391,17 @@ class ModuleSweep:
         spec = self.spec
         n_p, n_s, W = spec.n_p, spec.n_s, self.W
         L = spec.l_max
-        B = np.full((n_p + 1, n_s + 1, L + 1), INF, dtype=np.int64)
         seed_any = (spec.seed < CLAMP).any(axis=-1)
         live = (A_mod < CLAMP) & seed_any[None, :]
         p_idx, b_idx = np.nonzero(live)
+        if not sparse:
+            B = np.full((n_p + 1, n_s + 1, L + 1), INF, dtype=np.int64)
         if p_idx.size == 0:
+            if sparse:
+                z = np.zeros(0, dtype=np.int64)
+                return z, z, z, z
             return B
+        levels_out = [] if sparse else None
         T = np.full((3, p_idx.size, W), INF, dtype=np.int64)
         T[GAP_NONE] = sat_add(A_mod[p_idx, b_idx][:, None], spec.seed[b_idx])
         schar = self.schar[b_idx]
@@ -377,7 +411,11 @@ class ModuleSweep:
 
         for level in range(L + 1):
             T = self._sdel_close(T, so, se)
-            B[p_idx, b_idx, level] = T.min(axis=0).min(axis=-1)
+            vmin = T.min(axis=0).min(axis=-1)
+            if sparse:
+                levels_out.append(vmin)
+            else:
+                B[p_idx, b_idx, level] = vmin
             if level == L:
                 break
             pidx = p_idx + level
@@ -403,6 +441,10 @@ class ModuleSweep:
             )
             T = newT
 
+        if sparse:
+            V = np.stack(levels_out, axis=1)  # (n_live, L+1)
+            t_idx, ls = np.nonzero(V < CLAMP)
+            return p_idx[t_idx], b_idx[t_idx], ls, V[t_idx, ls]
         return B
 
 
@@ -481,6 +523,90 @@ def assemble_reentry(
     return R
 
 
+def _exit_window(spec: KindSpec, config: TemplateSwitchConfig):
+    """(d_lo, d_hi) clamped ldiff window, or None when no exit is finite."""
+    dw = config.length_difference_costs.finite_window()
+    if dw is None:
+        return None
+    n_p, n_anti = spec.n_p, spec.n_anti
+    m = 2 * max(n_p, n_anti) + 1
+    return max(int(dw[0]), -m), min(int(dw[1]), m)
+
+
+def _exit_kernel(spec: KindSpec, config: TemplateSwitchConfig, d_lo: int, d_hi: int):
+    """W[l, di] = length(l) + ldiff(d_lo + di) + anti(l + d_lo + di), the
+    full exit pricing per (length, ldiff) pair (INF where infeasible)."""
+    length_fn = config.length_costs
+    ldiff_fn = config.length_difference_costs
+    anti_fn = config.anti_primary_gap_costs(_DK[spec.dk])
+    n_d = d_hi - d_lo + 1
+    W = np.full((spec.l_max + 1, n_d), INF, dtype=np.int64)
+    dcs = np.array(
+        [ldiff_fn.evaluate(d) for d in range(d_lo, d_hi + 1)], dtype=np.int64
+    )
+    a_lo = int(anti_fn.points[0][0])
+    for l in range(spec.min_len, spec.l_max + 1):
+        lc = length_fn.evaluate(l)
+        if lc >= INF:
+            continue
+        acs = np.array(
+            [
+                anti_fn.evaluate(l + d) if l + d >= a_lo else INF
+                for d in range(d_lo, d_hi + 1)
+            ],
+            dtype=np.int64,
+        )
+        row = np.minimum(lc + np.minimum(dcs, CLAMP) + np.minimum(acs, CLAMP), INF)
+        W[l] = np.where((dcs < INF) & (acs < INF), row, INF)
+    return W
+
+
+def assemble_reentry_sparse(
+    spec: KindSpec,
+    config: TemplateSwitchConfig,
+    p1s: np.ndarray,
+    es: np.ndarray,
+    ls: np.ndarray,
+    vals: np.ndarray,
+    anti_lo: int,
+    anti_hi: int,
+) -> np.ndarray:
+    """assemble_reentry over sparse (p1, e_anti, l) -> value triples.
+
+    With TSLB-pruned entries the module output is almost entirely infinite;
+    pricing every ldiff for the finite triples against the precomputed exit
+    kernel in one broadcast (then scatter-min) replaces the dense
+    O(|l window| * |ldiff window|) full-grid loop.  Semantics identical to
+    assemble_reentry (context.rs:622-707)."""
+    n_p, n_anti = spec.n_p, spec.n_anti
+    R = np.full((n_p + 1, n_anti + 1), INF, dtype=np.int64)
+    w = _exit_window(spec, config)
+    if w is None:
+        return R
+    d_lo, d_hi = w
+    keep = (ls >= spec.min_len) & (p1s + ls <= n_p)
+    p1s, es, ls, vals = p1s[keep], es[keep], ls[keep], vals[keep]
+    if p1s.size == 0:
+        return R
+    W = _exit_kernel(spec, config, d_lo, d_hi)
+    Wl = W[ls]  # (T, n_d)
+    tot = vals[:, None] + np.minimum(Wl, CLAMP)
+    p2 = p1s + ls
+    ld = np.arange(d_lo, d_hi + 1, dtype=np.int64)[None, :]
+    feas = (
+        (ld == 0)
+        | ((ld > 0) & (p2[:, None] + ld <= anti_hi))
+        | ((ld < 0) & (p2[:, None] + ld >= anti_lo))
+    )
+    feas &= Wl < INF
+    j2 = es[:, None] + ls[:, None] + ld  # e + ag, ag = l + ldiff
+    feas &= (j2 >= 0) & (j2 < n_anti)
+    flat = np.where(feas, p2[:, None] * (n_anti + 1) + j2, R.size)
+    sink = np.append(R.reshape(-1), INF)
+    np.minimum.at(sink, flat.reshape(-1), np.where(feas, tot, INF).reshape(-1))
+    return sink[:-1].reshape(n_p + 1, n_anti + 1)
+
+
 def compute_reentry_fields(
     config: TemplateSwitchConfig,
     reference: np.ndarray,
@@ -491,6 +617,7 @@ def compute_reentry_fields(
     sdel_budget: Optional[int] = None,
     allow_secondary_deletions: bool = True,
     allowed_primaries=(0, 1),
+    cache: Optional[dict] = None,
 ) -> np.ndarray:
     """All-kinds reentry field in (ref, query) cell coordinates.
 
@@ -499,6 +626,10 @@ def compute_reentry_fields(
     the anti-primary coordinate (the primary range under RangePrune, else the
     full sequences).  Returns R_cells[i, j] = cheapest reentry cost, to be
     seeded into the next primary sweep at flank -R, gap None.
+
+    `cache`: round-invariant per-alignment state (ModuleSweep tables and the
+    entry-independent same-seq module fields), keyed by kind — callers pass
+    a dict that lives as long as the (config, pair, budget) triple.
     """
     n_r, n_q = len(reference), len(query)
     out = np.full((n_r + 1, n_q + 1), INF, dtype=np.int64)
@@ -512,19 +643,30 @@ def compute_reentry_fields(
                 )
                 if spec is None:
                     continue
-                ms = ModuleSweep(
-                    spec,
-                    config,
-                    reference,
-                    query,
-                    allow_secondary_deletions=allow_secondary_deletions,
-                )
-                if spec.same_seq:
+                key = (pk, sk, dk)
+                ms = cache.get(key) if cache is not None else None
+                if ms is None:
+                    ms = ModuleSweep(
+                        spec,
+                        config,
+                        reference,
+                        query,
+                        allow_secondary_deletions=allow_secondary_deletions,
+                    )
+                    if cache is not None:
+                        cache[key] = ms
+                sp = ms.sweep_sparse(A_mod)
+                if sp is not None:
+                    R = assemble_reentry_sparse(
+                        spec, config, *sp, anti_lo, anti_hi
+                    )
+                elif spec.same_seq:
                     B = ms.sweep()
                     D3 = sat_add(A_mod[:, :, None], B[:, None, :])
+                    R = assemble_reentry(spec, config, D3, anti_lo, anti_hi)
                 else:
                     D3 = ms.sweep(A_mod=A_mod)
-                R = assemble_reentry(spec, config, D3, anti_lo, anti_hi)
+                    R = assemble_reentry(spec, config, D3, anti_lo, anti_hi)
                 if pk == 1:
                     R = R.T
                 np.minimum(out, R, out=out)

@@ -32,12 +32,10 @@ def test_golden_toml_roundtrip(path):
     rendered = result.to_toml()
     result2 = AlignmentResult.from_toml(rendered)
     assert result == result2
-    # Cross-check with a generic TOML parser that both encodings agree.
-    import tomllib
-
-    orig = tomllib.loads(text)
-    mine = tomllib.loads(rendered)
-    assert orig == mine
+    # Byte parity with the reference's serde/toml serialization (field
+    # order, float formatting — alignment_result.rs:32-82), so golden
+    # comparisons are plain `diff`s.
+    assert rendered == text
 
 
 def test_golden_ari_fields():

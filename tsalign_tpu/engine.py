@@ -130,7 +130,9 @@ class DenseAligner:
             return None
         return upper_bound // min_step
 
-    def _reentry(self, A: np.ndarray, budget: Optional[int]) -> np.ndarray:
+    def _reentry(
+        self, A: np.ndarray, budget: Optional[int], best: int = INF
+    ) -> np.ndarray:
         """Reentry field from a (possibly TSLB-pruned) entry field `A`.
 
         Feeding the pruned field is exact: a masked cell provably cannot
@@ -139,6 +141,7 @@ class DenseAligner:
         pruning directly shrinks the dominant per-round work."""
         if not hasattr(self, "_module_cache"):
             self._module_cache = {}
+        lb = self._remaining_bound() if best < INF else None
         return compute_reentry_fields(
             self.config,
             self.ref,
@@ -146,6 +149,8 @@ class DenseAligner:
             A,
             self.anti_bounds_ref,
             self.anti_bounds_qry,
+            landing_bound=lb.B if lb is not None else None,
+            best=best,
             sdel_budget=budget,
             allow_secondary_deletions=self.allow_sdel,
             allowed_primaries=self.allowed_primaries,
@@ -168,7 +173,7 @@ class DenseAligner:
             budget = self._sdel_budget(best)
             self._last_budget = budget
             for c in range(1, t + 1):
-                R = self._reentry(self._pruned_entry(M, best), budget)
+                R = self._reentry(self._pruned_entry(M, best), budget, best=best)
                 results.reentry_fields.append(R)
                 seeds = np.full_like(root, INF)
                 seeds[0, GAP_NONE] = R  # layer_index(-right_flank_length) = 0
@@ -204,7 +209,7 @@ class DenseAligner:
                 return results
             if A is None:
                 A = self._pruned_entry(M, best)
-            R = self._reentry(A, budget)
+            R = self._reentry(A, budget, best=best)
             results.reentry_fields.append(R)
             seeds = np.minimum(root, _as_seeds(R, F))
             M_next = self._sweep(seeds, climb=True)

@@ -352,13 +352,57 @@ class ModuleSweep:
         self._b_cache = B
         return B
 
-    def sweep_sparse(self, A_mod: np.ndarray):
+    def _gbound(self, landing_min: int):
+        """Admissible per-level completion bound for the threshold prune:
+        g[level] = landing_min + min over final lengths l >= level of
+        (l - level) * s0 + Wmin[l], where Wmin[l] is the cheapest exit
+        pricing at length l and s0 = min(0, cheapest primary-consuming
+        secondary step).  A module state at `level` with value v can only
+        contribute a reentry whose completed path costs >= v + g[level]."""
+        if getattr(self, "_g_cache", None) is not None:
+            return self._g_cache
+        spec, config = self.spec, self.config
+        L = spec.l_max
+        w = _exit_window(spec, config)
+        s0 = 0
+        if w is None:
+            g = np.full(L + 2, CLAMP, dtype=np.int64)
+        else:
+            W = _exit_kernel(spec, config, *w)
+            Wmin = np.minimum(W, CLAMP).min(axis=1)
+            steps = [
+                arr[arr < CLAMP]
+                for arr in (self.sub_table, self.pgap_open, self.pgap_ext)
+            ]
+            fin = [int(a.min()) for a in steps if a.size]
+            s0 = min(0, min(fin)) if fin else 0
+            g = np.full(L + 2, CLAMP, dtype=np.int64)
+            for level in range(L, -1, -1):
+                g[level] = min(Wmin[level], min(g[level + 1] + s0, CLAMP))
+        g = np.minimum(g + min(landing_min, CLAMP), CLAMP)
+        self._g_cache = (g, s0)
+        return self._g_cache
+
+    def sweep_sparse(
+        self,
+        A_mod: np.ndarray,
+        landing_min: Optional[int] = None,
+        best: int = INF,
+    ):
         """Sparse module output: (p1s, es, ls, vals) triples of
         D3[p1, e_anti, l] = entry + module cost, restricted to finite
         entries.  Returns None when entry occupancy is too high for the
-        sparse route to win (callers fall back to the dense sweep)."""
+        sparse route to win (callers fall back to the dense sweep).
+
+        With `landing_min`/`best`, states and outputs provably above the
+        incumbent (value + completion bound > best) are dropped level by
+        level — the module work then tracks the surviving frontier instead
+        of the full (live pairs x r-window x length) volume."""
         spec = self.spec
         n_p, n_s = spec.n_p, spec.n_s
+        prune = None
+        if landing_min is not None and best < INF:
+            prune = (self._gbound(landing_min), best)
         if spec.same_seq:
             live = A_mod < CLAMP
             if int(live.sum()) * 4 > (n_p + 1) * (n_s + 1):
@@ -368,15 +412,21 @@ class ModuleSweep:
             Bsub = B[p1s]  # (T, L+1)
             t_idx, ls = np.nonzero(Bsub < CLAMP)
             vals = A_mod[p1s, es][t_idx] + Bsub[t_idx, ls]
+            # (exact per-length/per-row pruning happens in
+            # assemble_reentry_sparse; the same-seq module table is
+            # entry-independent and cached, so there is nothing to save here)
             return p1s[t_idx], es[t_idx], ls, vals
         seed_any = (spec.seed < CLAMP).any(axis=-1)
         live = (A_mod < CLAMP) & seed_any[None, :]
         if int(live.sum()) * 4 > (n_p + 1) * (n_s + 1):
             return None
-        return self._sweep_cross(A_mod, sparse=True)
+        return self._sweep_cross(A_mod, sparse=True, prune=prune)
 
     def _sweep_cross(
-        self, A_mod: Optional[np.ndarray], sparse: bool = False
+        self,
+        A_mod: Optional[np.ndarray],
+        sparse: bool = False,
+        prune=None,
     ):
         """Cross-sequence module scan, compacted to live (p1, b) pairs.
 
@@ -401,23 +451,48 @@ class ModuleSweep:
                 z = np.zeros(0, dtype=np.int64)
                 return z, z, z, z
             return B
-        levels_out = [] if sparse else None
+        out_p, out_b, out_l, out_v = [], [], [], []
         T = np.full((3, p_idx.size, W), INF, dtype=np.int64)
         T[GAP_NONE] = sat_add(A_mod[p_idx, b_idx][:, None], spec.seed[b_idx])
         schar = self.schar[b_idx]
         smask = self.mask[b_idx]
         so = self.sdel_open[b_idx] if self.allow_sdel else None
         se = self.sdel_ext[b_idx] if self.allow_sdel else None
+        if sparse and prune is not None:
+            (g, s0), best_cap = prune
+        else:
+            g, s0, best_cap = None, 0, None
 
         for level in range(L + 1):
             T = self._sdel_close(T, so, se)
             vmin = T.min(axis=0).min(axis=-1)
             if sparse:
-                levels_out.append(vmin)
+                sel = vmin < CLAMP
+                if sel.any():
+                    out_p.append(p_idx[sel])
+                    out_b.append(b_idx[sel])
+                    out_l.append(np.full(int(sel.sum()), level, dtype=np.int64))
+                    out_v.append(vmin[sel])
             else:
                 B[p_idx, b_idx, level] = vmin
             if level == L:
                 break
+            if g is not None:
+                # Threshold compaction: a pair whose best state cannot
+                # complete any future-length TSM within the incumbent is
+                # dead for all remaining levels.  Future value at length
+                # l > level is >= vmin + (l - level) * s0, so the total is
+                # >= vmin + s0 + g[level + 1] (g includes the landing-field
+                # minimum); everything capped at CLAMP so the sum is safe.
+                alive = np.minimum(vmin, CLAMP) + (s0 + g[level + 1]) <= best_cap
+                if not alive.all():
+                    if not alive.any():
+                        break
+                    p_idx, b_idx = p_idx[alive], b_idx[alive]
+                    T = np.ascontiguousarray(T[:, alive])
+                    schar, smask = schar[alive], smask[alive]
+                    if so is not None:
+                        so, se = so[alive], se[alive]
             pidx = p_idx + level
             pvalid = pidx < n_p
             pchar = np.where(pvalid, self.P[np.clip(pidx, 0, max(n_p - 1, 0))], 0)
@@ -442,9 +517,15 @@ class ModuleSweep:
             T = newT
 
         if sparse:
-            V = np.stack(levels_out, axis=1)  # (n_live, L+1)
-            t_idx, ls = np.nonzero(V < CLAMP)
-            return p_idx[t_idx], b_idx[t_idx], ls, V[t_idx, ls]
+            if not out_p:
+                z = np.zeros(0, dtype=np.int64)
+                return z, z, z, z
+            return (
+                np.concatenate(out_p),
+                np.concatenate(out_b),
+                np.concatenate(out_l),
+                np.concatenate(out_v),
+            )
         return B
 
 
@@ -570,6 +651,8 @@ def assemble_reentry_sparse(
     vals: np.ndarray,
     anti_lo: int,
     anti_hi: int,
+    landing_bound: Optional[np.ndarray] = None,
+    best: int = INF,
 ) -> np.ndarray:
     """assemble_reentry over sparse (p1, e_anti, l) -> value triples.
 
@@ -577,7 +660,14 @@ def assemble_reentry_sparse(
     pricing every ldiff for the finite triples against the precomputed exit
     kernel in one broadcast (then scatter-min) replaces the dense
     O(|l window| * |ldiff window|) full-grid loop.  Semantics identical to
-    assemble_reentry (context.rs:622-707)."""
+    assemble_reentry (context.rs:622-707).
+
+    `landing_bound` (module orientation, (n_p+1, n_anti+1)): admissible
+    cost-to-target from each reentry cell (lower_bounds.py).  With an
+    incumbent `best`, a triple whose cheapest completed TSM plus cheapest
+    landing completion exceeds best cannot lie on an optimal or co-optimal
+    path and is dropped before the (triple x ldiff) expansion — the
+    dominant cost at real-locus scale."""
     n_p, n_anti = spec.n_p, spec.n_anti
     R = np.full((n_p + 1, n_anti + 1), INF, dtype=np.int64)
     w = _exit_window(spec, config)
@@ -589,6 +679,14 @@ def assemble_reentry_sparse(
     if p1s.size == 0:
         return R
     W = _exit_kernel(spec, config, d_lo, d_hi)
+    if landing_bound is not None and best < INF and p1s.size:
+        Wmin = np.minimum(W, CLAMP).min(axis=1)
+        Brmin = np.minimum(landing_bound, CLAMP).min(axis=1)
+        lb_tot = np.minimum(vals, CLAMP) + Wmin[ls] + Brmin[p1s + ls]
+        keep = lb_tot <= best
+        p1s, es, ls, vals = p1s[keep], es[keep], ls[keep], vals[keep]
+        if p1s.size == 0:
+            return R
     Wl = W[ls]  # (T, n_d)
     tot = vals[:, None] + np.minimum(Wl, CLAMP)
     p2 = p1s + ls
@@ -618,6 +716,8 @@ def compute_reentry_fields(
     allow_secondary_deletions: bool = True,
     allowed_primaries=(0, 1),
     cache: Optional[dict] = None,
+    landing_bound: Optional[np.ndarray] = None,
+    best: int = INF,
 ) -> np.ndarray:
     """All-kinds reentry field in (ref, query) cell coordinates.
 
@@ -655,10 +755,21 @@ def compute_reentry_fields(
                     )
                     if cache is not None:
                         cache[key] = ms
-                sp = ms.sweep_sparse(A_mod)
+                B_mod = (
+                    landing_bound
+                    if (landing_bound is None or pk == 0)
+                    else landing_bound.T
+                )
+                landing_min = (
+                    int(np.minimum(B_mod, CLAMP).min())
+                    if B_mod is not None
+                    else None
+                )
+                sp = ms.sweep_sparse(A_mod, landing_min=landing_min, best=best)
                 if sp is not None:
                     R = assemble_reentry_sparse(
-                        spec, config, *sp, anti_lo, anti_hi
+                        spec, config, *sp, anti_lo, anti_hi,
+                        landing_bound=B_mod, best=best,
                     )
                 elif spec.same_seq:
                     B = ms.sweep()

@@ -4,9 +4,12 @@ The corpus-level throughput path (the reference ran one pair per process
 and left corpus parallelism to external scripts — alignment_result.rs:71-81,
 SURVEY.md §2.8): pairs are padded to one poison-char bucket, their per-pair
 tables stacked, and the single-pair jitted kernels (ops/jax_primary,
-ops/jax_modules) vmapped over the batch dimension.  The rounds loop runs to
-a shared round count derived from the exact per-round TSM-cost bound, so
-every pair's optimum is covered.
+ops/jax_modules) vmapped over the batch dimension.  The rounds loop runs in
+lockstep; each pair terminates by the same exact criteria as the single-pair
+engines (k*delta bound, TSLB improvement test, pruned-entry fixpoint), and
+the batch stops when every pair has.  Traceback runs on the host per pair
+over the kept fields, so the full record pipeline (tie-break, extension,
+equal-cost ranges, TOML) is available batched via `align_pairs`.
 
 Chunk-level cost pruning is intentionally skipped here (it is per-pair,
 data-dependent): this path trades it for batch parallelism.
@@ -24,10 +27,17 @@ from ..config import TemplateSwitchConfig
 from ..costs import INF
 from ..engine import min_tsm_cost_bound
 from ..geometry import AlignmentRange
+from ..jax_engine import JaxEngineResult
 from ..ops.jax_primary import JaxPrimarySweep, _sweep_jit
 from ..ops.jax_modules import JaxKindModule, _kind_all_chunks, _same_module_jit
-from ..ops.jaxcommon import DEV_INF, to_device_costs
+from ..ops.jaxcommon import (
+    DEV_INF,
+    from_device_costs,
+    to_device_costs,
+    validate_magnitudes,
+)
 from ..ops.primary_sweep import GAP_NONE
+from ..ops.tsm_modules import make_kind_spec
 
 
 def _bucket(n: int) -> int:
@@ -38,14 +48,15 @@ def _bucket(n: int) -> int:
 
 
 class BatchedTSAligner:
-    """Cost-only batched TS alignment over equal-bucket pairs."""
+    """Batched TS alignment over equal-bucket pairs (costs + traceback)."""
 
     def __init__(
         self,
         config: TemplateSwitchConfig,
         pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
-        max_rounds: int = 8,
+        max_rounds: int = 32,
         chunk: int = 64,
+        keep_fields: bool = False,
     ):
         self.config = config
         self.n_pairs = len(pairs)
@@ -61,42 +72,210 @@ class BatchedTSAligner:
             self.qrys[i, : len(q)] = q
         self.max_rounds = max_rounds
         self.chunk = chunk
+        self.keep_fields = keep_fields
+        self._validate()
 
-        # Per-pair single-pair machinery (host precompute per pair), with
-        # identical statics across the batch thanks to the shared bucket.
+        # Per-pair single-pair sweep machinery (host precompute per pair),
+        # with identical statics across the batch thanks to the shared
+        # bucket.  Kind modules are built lazily (the deletion-drift budget
+        # needs round-0 costs, jax_engine._sdel_budget).
         self.sweeps = [
             JaxPrimarySweep(config, self.refs[i], self.qrys[i])
             for i in range(self.n_pairs)
         ]
-        budget = None  # full windows (no per-pair C0 available pre-sweep)
+        self.kind_sets: Optional[List[List[JaxKindModule]]] = None
+        self.sdel_budget: Optional[int] = None
+
+    def _validate(self) -> None:
+        cfg = self.config
+        mx = 0
+        for t in (
+            cfg.primary_edit_costs,
+            cfg.secondary_forward_edit_costs,
+            cfg.secondary_reverse_edit_costs,
+            cfg.left_flank_edit_costs,
+            cfg.right_flank_edit_costs,
+        ):
+            for arr in (t.substitution, t.gap_open, t.gap_extend):
+                finite = arr[arr < INF]
+                if finite.size:
+                    mx = max(mx, int(finite.max()))
+        for fn in (
+            cfg.rq_qr_offset_costs,
+            cfg.rr_qq_offset_costs,
+            cfg.length_costs,
+            cfg.length_difference_costs,
+            cfg.forward_anti_primary_gap_costs,
+            cfg.reverse_anti_primary_gap_costs,
+        ):
+            finite = [c for _, c in fn.points if c < INF]
+            if finite:
+                mx = max(mx, max(finite))
+        base_fin = [v for v in cfg.base_cost.values() if v < INF]
+        if base_fin:
+            mx = max(mx, max(base_fin))
+        validate_magnitudes(mx, 2 * (self.nr + self.nq + 2))
+
+    # ---- per-pair exact-termination machinery (mirrors jax_engine) ----
+
+    def _bounds(self):
+        """Per-pair admissible remaining-cost bounds (lower_bounds.py);
+        None entries mean the relaxed iteration does not apply for that
+        pair's padded grid."""
+        if not hasattr(self, "_lb_cache"):
+            from ..lower_bounds import compute_remaining_bound
+
+            self._lb_cache = [
+                compute_remaining_bound(
+                    self.config, self.refs[i], self.qrys[i], lr, lq
+                )
+                for i, (lr, lq) in enumerate(self.real)
+            ]
+        return self._lb_cache
+
+    def _entry64(self, M_i: np.ndarray) -> np.ndarray:
+        return M_i[-1].min(axis=0).astype(np.int64)
+
+    def _pruned_entry_pair(self, i: int, M_i: np.ndarray, best: int) -> np.ndarray:
+        """Per-pair pruned entry field in device int32 (see
+        jax_engine.JaxAligner._pruned_entry; padded cells beyond the pair's
+        real lengths are unreachable through poison moves, so no extra
+        slice masking is needed)."""
+        A_cells = M_i[-1].min(axis=0).astype(np.int32)
+        lb = self._bounds()[i]
+        if lb is not None:
+            A64 = A_cells.astype(np.int64)
+            useful = (A64 < int(DEV_INF) // 2) & (lb.S < INF)
+            if best < INF:
+                useful &= A64 + lb.S <= best
+            return np.where(useful, A_cells, np.int32(DEV_INF))
+        if best >= INF:
+            return A_cells
+        slack = self.config.secondary_length_bonus * (self.nr + self.nq)
+        thresh = best + slack - max(0, min_tsm_cost_bound(self.config))
+        return np.where(
+            A_cells.astype(np.int64) > thresh, np.int32(DEV_INF), A_cells
+        )
+
+    def _can_improve_pair(self, i: int, M_i: np.ndarray, best: int) -> bool:
+        lb = self._bounds()[i]
+        if lb is None or best >= INF:
+            return True
+        A64 = self._entry64(M_i)
+        mask = (A64 < int(DEV_INF) // 2) & (lb.S < INF)
+        return bool(np.any(mask & (A64 + lb.S < best)))
+
+    def _derive_budget(self, best: List[int]) -> Optional[int]:
+        finite = [b for b in best if b < INF]
+        if not finite:
+            return None
+        cfg = self.config
+        steps = []
+        for d in ("Forward", "Reverse"):
+            t = cfg.secondary_edit_costs(d)
+            steps.append(min(t.min_gap_open_cost(), t.min_gap_extend_cost()))
+        min_step = min(steps)
+        if min_step <= 0:
+            return None
+        budget = max(finite) // min_step
+        b = 8
+        while b < budget:
+            b *= 2
+        return b
+
+    def _build_kind_sets(self, budget: Optional[int]) -> None:
+        self.sdel_budget = budget
         self.kind_sets = []
         for i in range(self.n_pairs):
-            from ..ops.tsm_modules import make_kind_spec
-
             kinds = []
             for pk in (0, 1):
                 for sk in (0, 1):
                     for dk in (0, 1):
                         spec = make_kind_spec(
-                            config, nr, nq, pk, sk, dk, sdel_budget=64
+                            self.config,
+                            self.nr,
+                            self.nq,
+                            pk,
+                            sk,
+                            dk,
+                            sdel_budget=budget,
                         )
                         if spec is None:
                             continue
                         km = JaxKindModule(
                             spec,
-                            config,
+                            self.config,
                             self.refs[i],
                             self.qrys[i],
                             0,
-                            nq if pk == 0 else nr,
+                            self.nq if pk == 0 else self.nr,
                             chunk=self.chunk,
                         )
                         if km.active:
                             kinds.append(km)
             self.kind_sets.append(kinds)
+        # Round-invariant per-kind batch state: stacked _fixed tensors and
+        # (for intra-sequence kinds) the entry-independent module fields.
+        self._kind_state = []
+        kind_count = len(self.kind_sets[0]) if self.kind_sets else 0
+        for ki in range(kind_count):
+            kms = [ks[ki] for ks in self.kind_sets]
+            km0 = kms[0]
+            fixed_b = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *[km._fixed for km in kms]
+            )
+            if km0.spec.same_seq:
+                B_pre = jax.vmap(lambda f: _same_module_jit(f, st=km0._static))(
+                    fixed_b
+                )
+            else:
+                B_pre = jnp.zeros((self.n_pairs, 1, 1), jnp.int32)
+            n_e = km0.spec.n_anti + 1
+            C = km0.chunk
+            e_bases = jnp.asarray(
+                [
+                    np.int32(min(e0, n_e - C) if n_e >= C else 0)
+                    for e0 in range(0, n_e, C)
+                ],
+                jnp.int32,
+            )
+            self._kind_state.append((km0, fixed_b, B_pre, e_bases))
 
-    def costs(self, mesh=None) -> np.ndarray:
-        """Optimal TS alignment cost per pair (int64, INF when unreachable).
+    def _reentry_batch(self, A_stack: np.ndarray, shard) -> np.ndarray:
+        """Batched all-kinds reentry cells from the stacked (pruned) entry
+        fields."""
+        B = self.n_pairs
+        R_cells = np.full((B, self.nr + 1, self.nq + 1), int(DEV_INF), np.int32)
+        launched = []
+        for km0, fixed_b, B_pre, e_bases in self._kind_state:
+            spec = km0.spec
+            A_mod = A_stack if spec.pk == 0 else A_stack.transpose(0, 2, 1)
+            n_anti = spec.n_anti
+            C = km0.chunk
+            PAD = max(0, -km0.s_lo)
+            width = PAD + n_anti + 1 + max(0, C - 1 + km0.s_hi)
+            Rk_pad0 = jnp.full((B, spec.n_p + 1, width), DEV_INF, jnp.int32)
+            A_dev = jnp.asarray(np.ascontiguousarray(A_mod))
+            if shard is not None:
+                A_dev, Rk_pad0 = shard(A_dev), shard(Rk_pad0)
+            step = jax.vmap(
+                lambda a, rk, f, bp: _kind_all_chunks(
+                    a, rk, f, e_bases, bp, st=km0._static, PAD=PAD
+                )
+            )
+            Rk_pad = step(A_dev, Rk_pad0, fixed_b, B_pre)
+            launched.append((spec, PAD, Rk_pad))
+        for spec, PAD, Rk_pad in launched:
+            n_anti = spec.n_anti
+            Rk = np.array(Rk_pad)[:, :, PAD : PAD + n_anti + 1]
+            Rk[:, :, n_anti] = int(DEV_INF)  # strict reentry: j2 < n_anti
+            if spec.pk == 1:
+                Rk = Rk.transpose(0, 2, 1)
+            np.minimum(R_cells, Rk, out=R_cells)
+        return R_cells
+
+    def align(self, mesh=None) -> List[JaxEngineResult]:
+        """Per-pair engine results (exact optimum each), batch-lockstep.
 
         With `mesh` (a jax.sharding.Mesh with axis "data"), the batch
         dimension of every stacked array is sharded across the mesh; the
@@ -113,7 +292,6 @@ class BatchedTSAligner:
 
         F = self.config.left_flank_length + self.config.right_flank_length + 1
 
-        # stacked sweep inputs
         def stack_sweep_arrays():
             out = {}
             for key in ("p", "l", "r"):
@@ -136,91 +314,137 @@ class BatchedTSAligner:
             arrays_b = jax.tree_util.tree_map(shard, arrays_b)
         sweep_v = jax.vmap(
             lambda seeds, arrays: _sweep_jit(
-                seeds, arrays, L=self.config.left_flank_length,
-                R=self.config.right_flank_length, climb=True
+                seeds,
+                arrays,
+                L=self.config.left_flank_length,
+                R=self.config.right_flank_length,
+                climb=True,
             )
         )
 
         seeds0 = np.full((B, F, 3, self.nr + 1, self.nq + 1), INF, dtype=np.int64)
         for i in range(B):
             seeds0[i, self.config.right_flank_length, GAP_NONE, 0, 0] = 0
-        seeds = jnp.asarray(to_device_costs(seeds0))
+        seeds0_dev = np.asarray(to_device_costs(seeds0))
+        seeds = jnp.asarray(seeds0_dev)
         if shard is not None:
             seeds = shard(seeds)
 
-        M = sweep_v(seeds, arrays_b)
-        M_host = np.asarray(M)
+        M_host = np.asarray(sweep_v(seeds, arrays_b))
+        results = [JaxEngineResult(cost=INF, rounds=1) for _ in range(B)]
+        if self.keep_fields:
+            for i in range(B):
+                results[i].primary_fields.append(from_device_costs(M_host[i]))
         best = self._targets(M_host)
-
         delta = min_tsm_cost_bound(self.config)
-        rounds = self.max_rounds
-        if delta > 0:
-            finite = [b for b in best if b < INF]
-            if finite:
-                rounds = min(rounds, max(1, max(finite) // delta + 1))
 
-        # group kinds by static snapshot so each vmapped call covers the batch
-        kind_count = len(self.kind_sets[0])
-        for k in range(1, rounds + 1):
-            R_cells = np.full(
-                (B, self.nr + 1, self.nq + 1), int(DEV_INF), np.int32
-            )
-            A_cells = M_host[:, -1].min(axis=1).astype(np.int32)
-            for ki in range(kind_count):
-                kms = [ks[ki] for ks in self.kind_sets]
-                km0 = kms[0]
-                spec = km0.spec
-                A_mod = A_cells if spec.pk == 0 else A_cells.transpose(0, 2, 1)
-                n_anti = spec.n_anti
-                C = km0.chunk
-                n_e = n_anti + 1
-                PAD = max(0, -km0.s_lo)
-                width = PAD + n_anti + 1 + max(0, C - 1 + km0.s_hi)
-                Rk_pad0 = jnp.full(
-                    (B, spec.n_p + 1, width), DEV_INF, jnp.int32
-                )
-                fixed_b = jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs), *[km._fixed for km in kms]
-                )
-                e_bases = jnp.asarray(
-                    [
-                        np.int32(min(e0, n_e - C) if n_e >= C else 0)
-                        for e0 in range(0, n_e, C)
-                    ],
-                    jnp.int32,
-                )
-                if spec.same_seq:
-                    B_pre = jax.vmap(
-                        lambda f: _same_module_jit(f, st=km0._static)
-                    )(fixed_b)
-                else:
-                    B_pre = jnp.zeros((B, 1, 1), jnp.int32)
-                step = jax.vmap(
-                    lambda a, rk, f, bp: _kind_all_chunks(
-                        a, rk, f, e_bases, bp, st=km0._static, PAD=PAD
-                    )
-                )
-                Rk_pad = step(
-                    jnp.asarray(np.ascontiguousarray(A_mod)), Rk_pad0, fixed_b, B_pre
-                )
-                Rk = np.array(Rk_pad)[:, :, PAD : PAD + n_anti + 1]
-                Rk[:, :, n_anti] = int(DEV_INF)
-                if spec.pk == 1:
-                    Rk = Rk.transpose(0, 2, 1)
-                np.minimum(R_cells, Rk, out=R_cells)
-            seeds_k = np.full_like(seeds0, INF)
-            seeds_k = np.minimum(seeds_k, seeds0)
-            sk = np.asarray(to_device_costs(seeds_k))
-            sk[:, 0, GAP_NONE] = np.minimum(sk[:, 0, GAP_NONE], R_cells)
-            M_next = sweep_v(jnp.asarray(sk), arrays_b)
-            M_next_host = np.asarray(M_next)
-            new_best = self._targets(M_next_host)
-            if np.array_equal(M_next_host, M_host):
-                best = new_best
+        done = [False] * B
+        A_cur: List[Optional[np.ndarray]] = [None] * B
+        for k in range(1, self.max_rounds + 1):
+            for i in range(B):
+                if done[i]:
+                    continue
+                # Exact early stop: a further improvement needs a path with
+                # k template switches, costing at least k * delta.
+                if delta > 0 and k * delta > best[i]:
+                    done[i], results[i].rounds = True, k
+                # TSLB improvement stop.
+                elif not self._can_improve_pair(i, M_host[i], best[i]):
+                    done[i], results[i].rounds = True, k
+            if all(done):
                 break
-            M_host = M_next_host
-            best = [min(a, b) for a, b in zip(best, new_best)]
-        return np.asarray(best, dtype=np.int64)
+            if self.kind_sets is None:
+                self._build_kind_sets(self._derive_budget(best))
+            for i in range(B):
+                if A_cur[i] is None:
+                    A_cur[i] = self._pruned_entry_pair(i, M_host[i], best[i])
+            A_stack = np.stack(A_cur)
+            R_cells = self._reentry_batch(A_stack, shard)
+            if self.keep_fields:
+                for i in range(B):
+                    if not done[i]:
+                        results[i].reentry_fields.append(
+                            from_device_costs(R_cells[i])
+                        )
+            seeds_k = seeds0_dev.copy()
+            seeds_k[:, 0, GAP_NONE] = np.minimum(
+                seeds_k[:, 0, GAP_NONE], R_cells
+            )
+            sk_dev = jnp.asarray(seeds_k)
+            if shard is not None:
+                sk_dev = shard(sk_dev)
+            M_next = np.asarray(sweep_v(sk_dev, arrays_b))
+            new_best = [
+                min(a, b) for a, b in zip(best, self._targets(M_next))
+            ]
+            if self.keep_fields:
+                for i in range(B):
+                    if not done[i]:
+                        results[i].primary_fields.append(
+                            from_device_costs(M_next[i])
+                        )
+            # Pruned-entry fixpoint per pair (jax_engine semantics): once
+            # the pruned field is stable, reentries/seeds/sweeps repeat.
+            for i in range(B):
+                if done[i]:
+                    continue
+                A_next_i = self._pruned_entry_pair(i, M_next[i], new_best[i])
+                A_i = A_cur[i]
+                if new_best[i] < best[i]:
+                    A_i = self._pruned_entry_pair(i, M_host[i], new_best[i])
+                if np.array_equal(A_next_i, A_i):
+                    done[i], results[i].rounds = True, k + 1
+                    A_cur[i] = A_next_i
+                else:
+                    A_cur[i] = A_next_i
+            best = new_best
+            M_host = M_next
+        else:
+            raise RuntimeError(
+                f"BatchedTSAligner: not all pairs converged within "
+                f"max_rounds={self.max_rounds}"
+            )
+        for i in range(B):
+            results[i].cost = best[i]
+        return results
+
+    def costs(self, mesh=None) -> np.ndarray:
+        """Optimal TS alignment cost per pair (int64, INF when unreachable)."""
+        return np.asarray(
+            [r.cost for r in self.align(mesh=mesh)], dtype=np.int64
+        )
+
+    def align_with_traceback(self, mesh=None):
+        """[(cost, Alignment)] per pair: batched rounds on device, host
+        traceback per pair over the kept fields (traceback.py)."""
+        from ..alignment import Alignment
+        from ..traceback import TracebackEngine
+
+        if not self.keep_fields:
+            self.keep_fields = True
+        results = self.align(mesh=mesh)
+        out = []
+        for i, res in enumerate(results):
+            if res.cost >= INF:
+                out.append((INF, Alignment([])))
+                continue
+            lr, lq = self.real[i]
+            tb = TracebackEngine(
+                self.config,
+                self.refs[i],
+                self.qrys[i],
+                range_=AlignmentRange(0, 0, lr, lq),
+                prune_range=False,
+                sdel_budget=self.sdel_budget,
+            )
+            out.append(
+                tb.trace(
+                    res.primary_fields,
+                    res.reentry_fields,
+                    climb_flags=[True] * len(res.primary_fields),
+                )
+            )
+        return out
 
     def _targets(self, M_host: np.ndarray) -> List[int]:
         out = []
@@ -228,3 +452,87 @@ class BatchedTSAligner:
             v = int(M_host[i, :, :, lr, lq].min())
             out.append(INF if v >= int(DEV_INF) // 2 else v)
         return out
+
+
+def align_pairs(
+    config: TemplateSwitchConfig,
+    pairs: Sequence[Tuple[str, str]],
+    names: Optional[Sequence[Tuple[str, str]]] = None,
+    maximise_total_length: bool = True,
+    chunk: int = 64,
+    mesh=None,
+):
+    """Full batched record pipeline: align many (reference, query) string
+    pairs in one batch and return a list of AlignmentResult records (the
+    same post-processing as Aligner.align: K-scaled total-length tie-break,
+    extension, equal-cost ranges, reference-schema TOML).
+
+    Falls back to the exact single-pair path per pair when the K-scaled
+    algebra would overflow the device int32 domain.
+    """
+    import time as _time
+
+    from ..aligner import Aligner
+    from ..postprocess import compute_ts_equal_cost_ranges
+    from ..result import AlignmentResult, AStarResultInfo
+
+    al = config.alphabet
+    enc = [(al.encode(r.upper()), al.encode(q.upper())) for r, q in pairs]
+    K = 1
+    cfg_run = config
+    if maximise_total_length:
+        nr = _bucket(max(len(r) for r, _ in enc))
+        nq = _bucket(max(len(q) for _, q in enc))
+        while K < nr + nq + 2:
+            K *= 2
+        cfg_run = config.scaled_for_length_tiebreak(K)
+
+    t0 = _time.monotonic()
+    try:
+        bt = BatchedTSAligner(cfg_run, enc, chunk=chunk, keep_fields=True)
+        traced = bt.align_with_traceback(mesh=mesh)
+    except OverflowError:
+        # Scaled magnitudes exceed the int32 device domain: single-pair
+        # exact fallback (numpy int64 algebra).
+        a = Aligner(costs=config)
+        out = []
+        for i, (r, q) in enumerate(pairs):
+            nm = names[i] if names else ("reference", "query")
+            out.append(a.align(r, q, nm[0], nm[1]).result)
+        return out
+
+    duration = _time.monotonic() - t0
+    records = []
+    for i, (comp, alignment) in enumerate(traced):
+        r_str, q_str = pairs[i][0].upper(), pairs[i][1].upper()
+        ref_arr, qry_arr = enc[i]
+        nm = names[i] if names else ("reference", "query")
+        rng = AlignmentRange.complete(len(ref_arr), len(qry_arr))
+        if comp >= INF:
+            cost = INF
+            alignment = None
+            result = AStarResultInfo(type="NoTarget")
+        else:
+            cost = -(-comp // K)
+            compute_ts_equal_cost_ranges(alignment, config, ref_arr, qry_arr, rng)
+            result = AStarResultInfo(type="FoundTarget", cost=cost)
+        cells = (len(ref_arr) + 1) * (len(qry_arr) + 1)
+        records.append(
+            AlignmentResult.new(
+                alignment=alignment,
+                reference=r_str,
+                query=q_str,
+                reference_rc=al.reverse_complement_str(r_str),
+                query_rc=al.reverse_complement_str(q_str),
+                reference_name=nm[0],
+                query_name=nm[1],
+                reference_offset=0,
+                query_offset=0,
+                result=result,
+                duration_seconds=duration / max(len(pairs), 1),
+                opened_nodes=cells,
+                closed_nodes=cells,
+                suboptimal_opened_nodes=0,
+            )
+        )
+    return records

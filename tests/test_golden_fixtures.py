@@ -94,7 +94,8 @@ def test_cli_roundtrip(tmp_path):
         env=_CPU_ENV,
     )
     assert r2.returncode == 0, r2.stderr
-    assert "Template switch" in r2.stdout
+    assert "Showing template switch 1" in r2.stdout
+    assert "Switch process:" in r2.stdout
 
 
 def test_cli_matrix_and_gap_affine():

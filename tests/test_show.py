@@ -44,8 +44,9 @@ def test_plain_text_render():
     out = io.StringIO()
     show_template_switches(out, res)
     text = out.getvalue()
-    assert "Template switch 1" in text
-    assert "rev-comp" in text
+    assert "Showing template switch 1" in text
+    assert "Direction: reverse" in text
+    assert "Switch process:" in text
 
 
 def test_svg_is_wellformed_xml():

@@ -15,6 +15,11 @@ from ..alignment import TemplateSwitchEntrance, TemplateSwitchExit
 from ..result import AlignmentResult
 
 
+# Context-window constants (parse_template_switches.rs:15-16).
+STREAM_DEFAULT_LENGTH = 20
+STREAM_PADDING = 10
+
+
 @dataclass
 class TSShow:
     entrance: TemplateSwitchEntrance
@@ -32,6 +37,55 @@ class TSShow:
     upstream: List[Tuple[int, object]] = field(default_factory=list)
     inner: List[Tuple[int, object]] = field(default_factory=list)
     downstream: List[Tuple[int, object]] = field(default_factory=list)
+    # Context-window coordinates: where the (trimmed) upstream stream starts
+    # and the downstream stream ends, in (reference, query) coordinates.
+    upstream_reference: int = 0
+    upstream_query: int = 0
+    downstream_reference: int = 0
+    downstream_query: int = 0
+
+
+def _flat_len(ops: List[Tuple[int, object]]) -> int:
+    return sum(c for c, _ in ops)
+
+
+def _trim_tail(ops: List[Tuple[int, object]], keep: int) -> List[Tuple[int, object]]:
+    """Keep the last `keep` flat ops (splitting a run if needed)."""
+    out: List[Tuple[int, object]] = []
+    remaining = keep
+    for count, t in reversed(ops):
+        if remaining <= 0:
+            break
+        take = min(count, remaining)
+        out.append((take, t))
+        remaining -= take
+    out.reverse()
+    return out
+
+
+def _trim_head(ops: List[Tuple[int, object]], keep: int) -> List[Tuple[int, object]]:
+    """Keep the first `keep` flat ops (splitting a run if needed)."""
+    out: List[Tuple[int, object]] = []
+    remaining = keep
+    for count, t in ops:
+        if remaining <= 0:
+            break
+        take = min(count, remaining)
+        out.append((take, t))
+        remaining -= take
+    return out
+
+
+def _advance_coords(i: int, j: int, ops, sign: int = 1) -> Tuple[int, int]:
+    for count, t in ops:
+        if t.endswith(("Match", "Substitution")):
+            i += sign * count
+            j += sign * count
+        elif t.endswith("Deletion"):
+            i += sign * count
+        elif t.endswith("Insertion"):
+            j += sign * count
+    return i, j
 
 
 def parse(result: AlignmentResult) -> List[TSShow]:
@@ -69,6 +123,19 @@ def parse(result: AlignmentResult) -> List[TSShow]:
             else:
                 i, j = cur.sp1_reference + ag, p_idx
             cur.sp4_reference, cur.sp4_query = i, j
+            # Trim the upstream context to the reference's window
+            # (parse_template_switches.rs:100-110): the larger of the
+            # default length and the reach back to the secondary span.
+            n_up = max(
+                STREAM_DEFAULT_LENGTH,
+                max(0, max(cur.sp1_reference, cur.sp1_query)
+                    - min(cur.sp2_secondary, cur.sp3_secondary))
+                + STREAM_PADDING,
+            )
+            cur.upstream = _trim_tail(cur.upstream, n_up)
+            cur.upstream_reference, cur.upstream_query = _advance_coords(
+                cur.sp1_reference, cur.sp1_query, cur.upstream, sign=-1
+            )
             out.append(cur)
             upstream = []
         elif cur is not None and cur.exit is None:
@@ -93,4 +160,16 @@ def parse(result: AlignmentResult) -> List[TSShow]:
                 i += count
             elif t.endswith("Insertion"):
                 j += count
+    for ts in out:
+        # Downstream window (parse_template_switches.rs:121-130): default
+        # length, or far enough to pass the secondary span.
+        n_down = max(
+            STREAM_DEFAULT_LENGTH,
+            max(0, max(ts.sp2_secondary, ts.sp3_secondary)
+                - (min(ts.sp4_reference, ts.sp4_query) + STREAM_PADDING)),
+        )
+        ts.downstream = _trim_head(ts.downstream, n_down)
+        ts.downstream_reference, ts.downstream_query = _advance_coords(
+            ts.sp4_reference, ts.sp4_query, ts.downstream, sign=1
+        )
     return out

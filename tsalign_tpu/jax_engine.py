@@ -268,6 +268,7 @@ class JaxAligner:
 
     def _build_kinds(self, budget: Optional[int]) -> List[JaxKindModule]:
         kinds = []
+        lut_cache = {}  # (sk, dk, window) LUTs shared across the pk variants
         for pk in self.allowed_primaries:
             anti_lo, anti_hi = (
                 self.anti_bounds_qry if pk == 0 else self.anti_bounds_ref
@@ -288,6 +289,7 @@ class JaxAligner:
                         anti_hi,
                         chunk=self.chunk,
                         allow_secondary_deletions=self.allow_sdel,
+                        lut_cache=lut_cache,
                     )
                     if km.active:
                         kinds.append(km)
@@ -334,14 +336,6 @@ class JaxAligner:
                 A_mod = np.pad(
                     A_mod, ((0, 0), (0, C - n_e)), constant_values=int(DEV_INF)
                 )
-            a_key = (spec.pk, A_mod.shape[1])
-            A_dev = a_dev_cache.get(a_key)
-            if A_dev is None:
-                A_dev = jnp.asarray(np.ascontiguousarray(A_mod))
-                a_dev_cache[a_key] = A_dev
-            PAD = max(0, -km.s_lo)
-            width = PAD + n_anti + 1 + max(0, C - 1 + km.s_hi)
-            Rk_pad = jnp.full((spec.n_p + 1, width), DEV_INF, jnp.int32)
             fixed = km._fixed
             if spec.same_seq:
                 # The intra-sequence module is independent of the entry
@@ -351,24 +345,36 @@ class JaxAligner:
                 B_pre = km._b_pre_cache
             else:
                 B_pre = jnp.zeros((1, 1), jnp.int32)
-            # Prune chunks that cannot contribute to an optimal path: any
-            # reentry value derived from entry cells costing more than the
-            # best known total already exceeds the optimum.
+            # Compacted-column route: with the TSLB bound, gather only the
+            # live entry columns (A + S <= best somewhere in the column)
+            # into a dense power-of-two bucket — the chunked route below
+            # processes whole 16..128-column blocks even when a handful of
+            # columns is live (the usual case after round 1).
             if AS is not None:
-                # TSLB bound: a chunk is live iff one of its entry cells can
-                # start a TSM and still finish within best (A + S <= best).
                 AS_mod = AS if spec.pk == 0 else AS.T
-                if n_e < C:
-                    AS_mod = np.pad(
-                        AS_mod, ((0, 0), (0, C - n_e)), constant_values=INF
-                    )
+                col_live = AS_mod.min(axis=0) <= best
+                e_live = np.nonzero(col_live)[0]
+                if e_live.size == 0:
+                    continue
+                Kb = C
+                while Kb < e_live.size:
+                    Kb *= 2
+                live_chunks = {
+                    min(int(e) // C * C, max(n_e - C, 0)) for e in e_live
+                }
+                if Kb < len(live_chunks) * C:
+                    t_kind = time.monotonic()
+                    sel = self._launch_compact(km, A_mod, e_live, Kb, B_pre)
+                    launched.append(("compact", km, sel, e_live, t_kind))
+                    continue
                 bases = []
                 for e0 in range(0, n_e, C):
                     eb = min(e0, n_e - C) if n_e >= C else 0
-                    live = (
-                        AS_mod.size and int(AS_mod[:, eb : eb + C].min()) <= best
+                    bases.append(
+                        np.int32(eb) if (e0 // C * C) in live_chunks
+                        or eb in live_chunks
+                        else np.int32(-1)
                     )
-                    bases.append(np.int32(eb) if live else np.int32(-1))
             else:
                 # Fallback (no remaining bound): global thresholds.  Under
                 # the total-length tie-break, secondary edges carry a -1
@@ -391,28 +397,95 @@ class JaxAligner:
                     )
             if all(b < 0 for b in bases):
                 continue
+            a_key = (spec.pk, A_mod.shape[1])
+            A_dev = a_dev_cache.get(a_key)
+            if A_dev is None:
+                A_dev = jnp.asarray(np.ascontiguousarray(A_mod))
+                a_dev_cache[a_key] = A_dev
+            PAD = max(0, -km.s_lo)
+            width = PAD + n_anti + 1 + max(0, C - 1 + km.s_hi)
+            Rk_pad = jnp.full((spec.n_p + 1, width), DEV_INF, jnp.int32)
             e_bases = jnp.asarray(bases, jnp.int32)
             t_kind = time.monotonic()
             Rk_pad = _kind_all_chunks(
                 A_dev, Rk_pad, fixed, e_bases, B_pre, st=km._static, PAD=PAD
             )
-            launched.append((km, Rk_pad, PAD, bases, t_kind))
-        for km, Rk_pad, PAD, bases, t_kind in launched:
+            launched.append(("chunked", km, Rk_pad, (PAD, bases), t_kind))
+        for mode, km, dev_out, extra, t_kind in launched:
             spec = km.spec
             n_anti = spec.n_anti
-            Rk = np.array(Rk_pad)[:, PAD : PAD + n_anti + 1]
-            if logger.isEnabledFor(logging.DEBUG):
-                live = sum(1 for b in bases if b >= 0)
-                logger.debug(
-                    "  kind pk=%d sk=%d dk=%d: %d/%d chunks %.3fs",
-                    spec.pk, spec.sk, spec.dk, live, len(bases),
-                    time.monotonic() - t_kind,
-                )
+            if mode == "compact":
+                e_live = extra
+                Rk = self._fold_compact(km, dev_out, e_live)
+                if logger.isEnabledFor(logging.DEBUG):
+                    logger.debug(
+                        "  kind pk=%d sk=%d dk=%d: compact %d cols %.3fs",
+                        spec.pk, spec.sk, spec.dk, len(e_live),
+                        time.monotonic() - t_kind,
+                    )
+            else:
+                PAD, bases = extra
+                Rk = np.array(dev_out)[:, PAD : PAD + n_anti + 1]
+                if logger.isEnabledFor(logging.DEBUG):
+                    live = sum(1 for b in bases if b >= 0)
+                    logger.debug(
+                        "  kind pk=%d sk=%d dk=%d: %d/%d chunks %.3fs",
+                        spec.pk, spec.sk, spec.dk, live, len(bases),
+                        time.monotonic() - t_kind,
+                    )
             Rk[:, n_anti] = int(DEV_INF)  # strict reentry bound: j2 < n_anti
             if spec.pk == 1:
                 Rk = Rk.T
             np.minimum(R_cells, Rk, out=R_cells)
         return R_cells
+
+    def _launch_compact(self, km, A_mod, e_live, Kb, B_pre):
+        """Enqueue the compacted-column pipeline for one kind: gather the
+        live entry columns and their per-e tables into a Kb bucket and
+        dispatch _kind_sel_chunks (returns the un-materialized device
+        slab tensor)."""
+        from .ops.jax_modules import _kind_sel_chunks
+
+        spec = km.spec
+        A_sel = np.full((spec.n_p + 1, Kb), int(DEV_INF), np.int32)
+        A_sel[:, : e_live.size] = A_mod[:, e_live]
+        fixed_sel = dict(km._fixed)
+        if not spec.same_seq:
+            W = km.W
+            seed_sel = np.full((Kb, W), int(DEV_INF), np.int32)
+            seed_sel[: e_live.size] = np.asarray(km.seed)[e_live]
+            lut_host = np.asarray(km.sub_lut)
+            lut_sel = np.full((lut_host.shape[0], Kb, W), int(DEV_INF), np.int32)
+            lut_sel[:, : e_live.size] = lut_host[:, e_live]
+            sdo_sel = np.full((Kb, W), int(DEV_INF), np.int32)
+            sdo_sel[: e_live.size] = np.asarray(km.sdel_open)[e_live]
+            sde_sel = np.full((Kb, W), int(DEV_INF), np.int32)
+            sde_sel[: e_live.size] = np.asarray(km.sdel_ext)[e_live]
+            fixed_sel.update(
+                seed=jnp.asarray(seed_sel),
+                lut=jnp.asarray(lut_sel),
+                sdo=jnp.asarray(sdo_sel),
+                sde=jnp.asarray(sde_sel),
+            )
+        st_sel = km._static._replace(separate_cols=True)
+        return _kind_sel_chunks(jnp.asarray(A_sel), fixed_sel, B_pre, st=st_sel)
+
+    def _fold_compact(self, km, dev_out, e_live) -> np.ndarray:
+        """Materialize the (n_p+1, Kb, S) slab tensor and min-fold each live
+        column's s-slab at its true j2 = e + s positions."""
+        spec = km.spec
+        n_anti = spec.n_anti
+        out = np.array(dev_out)
+        S = km._static.S
+        Rk = np.full((spec.n_p + 1, n_anti + 1), int(DEV_INF), np.int32)
+        for i, e in enumerate(e_live):
+            lo = int(e) + km.s_lo
+            a, b = max(lo, 0), min(lo + S, n_anti + 1)
+            if a >= b:
+                continue
+            tgt = Rk[:, a:b]
+            np.minimum(tgt, out[:, i, a - lo : b - lo], out=tgt)
+        return Rk
 
     def _as_seeds(self, R_cells: np.ndarray) -> np.ndarray:
         cfg = self.config

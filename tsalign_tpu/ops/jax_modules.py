@@ -28,7 +28,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 from functools import partial
-from typing import List, NamedTuple, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -129,6 +129,7 @@ class _Static(NamedTuple):
     plans: tuple
     chunk: int
     use_pallas: bool
+    separate_cols: bool = False
 
 
 class JaxKindModule:
@@ -144,6 +145,7 @@ class JaxKindModule:
         anti_hi: int,
         chunk: int = 64,
         allow_secondary_deletions: bool = True,
+        lut_cache: Optional[dict] = None,
     ):
         self.spec = spec
         self.chunk = min(chunk, spec.n_anti + 1)
@@ -159,13 +161,13 @@ class JaxKindModule:
         self.allow_sdel = allow_secondary_deletions
         self.anti_lo, self.anti_hi = anti_lo, anti_hi
 
-        ref = np.asarray(reference, dtype=np.int64)
-        qry = np.asarray(query, dtype=np.int64)
+        ref = np.asarray(reference, dtype=np.int8)
+        qry = np.asarray(query, dtype=np.int8)
         self.P = ref if spec.pk == 0 else qry
         sec = ref if spec.sk == 0 else qry
         A = config.alphabet.size
         # poison padding char support (chained-mode bucketed segments)
-        comp = np.append(config.alphabet.complement_array().astype(np.int64), A)
+        comp = np.append(config.alphabet.complement_array().astype(np.int8), A)
         from .jax_primary import _pad_table_for_poison
 
         table = _pad_table_for_poison(config.secondary_edit_costs(_DK[spec.dk]))
@@ -173,26 +175,37 @@ class JaxKindModule:
         n_s, r_lo, r_hi = spec.n_s, spec.r_lo, spec.r_hi
         W = r_hi - r_lo + 1
         self.W = W
-        b = np.arange(n_s + 1)[:, None]
-        r = np.arange(r_lo, r_hi + 1)[None, :]
-        if spec.dk == 0:
-            cidx = b + r
-        else:
-            cidx = b + r - 1
-        valid = (cidx >= 0) & (cidx < n_s)
-        raw = sec[np.clip(cidx, 0, max(n_s - 1, 0))] if n_s else np.zeros_like(cidx)
-        schar = np.where(valid, comp[raw] if spec.dk == 1 else raw, 0)
-
-        # (A, n_s+1, W) substitution LUT vs the secondary char at each (b, r).
+        # The big (n_s+1, W) LUTs are built as single int32 gathers from
+        # pre-transformed (A+1)-sized tables; infeasible (b, r) positions
+        # map to the poison char A, whose padded table row/column already
+        # prices INF.  (Full-size int64 where/astype temporaries dominate
+        # construction time on slow-memory hosts — this path runs once per
+        # kind per alignment.)
         bonus = config.secondary_length_bonus
-        sub_lut = np.where(
-            valid[None] & (table.substitution[:, schar] < INF),
-            table.substitution[:, schar] - bonus,
-            INF,
-        )
-        self.sub_lut = to_device_costs(sub_lut)
-        self.sdel_open = to_device_costs(np.where(valid, table.gap_open[schar], INF))
-        self.sdel_ext = to_device_costs(np.where(valid, table.gap_extend[schar], INF))
+        lut_key = (spec.sk, spec.dk, r_lo, r_hi)
+        cached = lut_cache.get(lut_key) if lut_cache is not None else None
+        if cached is None:
+            b = np.arange(n_s + 1, dtype=np.int32)[:, None]
+            r = np.arange(r_lo, r_hi + 1, dtype=np.int32)[None, :]
+            cidx = b + r if spec.dk == 0 else b + r - 1
+            valid = (cidx >= 0) & (cidx < n_s)
+            raw = (
+                sec[np.clip(cidx, 0, max(n_s - 1, 0))]
+                if n_s
+                else np.zeros_like(cidx, dtype=np.int8)
+            )
+            cvals = comp[raw] if spec.dk == 1 else raw
+            schar = np.where(valid, cvals, np.int8(A)).astype(np.int32)
+            sub32 = to_device_costs(
+                np.where(table.substitution < INF, table.substitution - bonus, INF)
+            )
+            go32 = to_device_costs(table.gap_open)
+            ge32 = to_device_costs(table.gap_extend)
+            # (A+1, n_s+1, W) substitution LUT vs the secondary char at (b, r).
+            cached = (sub32[:, schar], go32[schar], ge32[schar])
+            if lut_cache is not None:
+                lut_cache[lut_key] = cached
+        self.sub_lut, self.sdel_open, self.sdel_ext = cached
         self.pgap_open = to_device_costs(
             np.where(table.gap_open < INF, table.gap_open - bonus, INF)
         )
@@ -204,16 +217,16 @@ class JaxKindModule:
         n_p, L = spec.n_p, spec.l_max
         # Per-level primary chars and validity (levels consume P[p1 + l]).
         if spec.same_seq:
-            pb = np.arange(n_s + 1)
+            pb = np.arange(n_s + 1, dtype=np.int32)
         else:
-            pb = np.arange(n_p + 1)
-        lvl = np.arange(L)[:, None]
+            pb = np.arange(n_p + 1, dtype=np.int32)
+        lvl = np.arange(L, dtype=np.int32)[:, None]
         pidx = pb[None, :] + lvl
         pvalid = pidx < n_p
-        self.pchar_l = np.where(pvalid, self.P[np.clip(pidx, 0, max(n_p - 1, 0))], 0).astype(
-            np.int32
+        self.pchar_l = np.where(
+            pvalid, self.P[np.clip(pidx, 0, max(n_p - 1, 0))].astype(np.int32), 0
         )
-        self.pmask_l = to_device_costs(np.where(pvalid, 0, INF))
+        self.pmask_l = np.where(pvalid, np.int32(0), DEV_INF)
 
         # --- assembly statics ---
         cfg = config
@@ -473,8 +486,40 @@ def _assembly(B, A_chunk, fixed, st):
 
     anti_vec = fixed["anti_vec"]
     S = st.S
-    R0 = jnp.full((n_p + 1, C + S - 1), DEV_INF, jnp.int32)
     row_idx = jnp.arange(n_p + 1)
+
+    if getattr(st, "separate_cols", False):
+        # Compacted-column mode: emit each entry column's full s-slab
+        # (n_p+1, C, S) instead of folding into contiguous output columns
+        # (the selected e's are not adjacent, so j2 = e + s is resolved by
+        # the host fold).
+        def s_emit(_, s_idx):
+            s = st.s_lo + s_idx
+            u = jnp.full((n_p + 1, C), DEV_INF, jnp.int32)
+            for plan, sw, band in seg_arrays:
+                t = OFF + s - plan.b
+                val = jax.lax.dynamic_slice(sw, (0, 0, t), (n_p + 1, C, 1))[..., 0]
+                if band is not None:
+                    b0, b1, bq = band
+                    t_end = OFF + s - plan.a
+                    bval = jax.lax.dynamic_slice(
+                        bq, (0, 0, t_end), (b1 - b0 + 1, C, 1)
+                    )[..., 0]
+                    val = jax.lax.dynamic_update_slice(val, bval, (b0, 0))
+                if plan.positive:
+                    val = jnp.where(row_idx[:, None] > plan.kill_from - 1, DEV_INF, val)
+                else:
+                    val = jnp.where(row_idx[:, None] < plan.kill_from, DEV_INF, val)
+                u = jnp.minimum(u, sat_add(val, np.int32(min(plan.cost, int(DEV_INF)))))
+            v0 = jax.lax.dynamic_slice(D3pad, (0, 0, OFF + s), (n_p + 1, C, 1))[..., 0]
+            u = jnp.minimum(u, sat_add(v0, np.int32(st.ldiff0)))
+            u = sat_add(u, anti_vec[s_idx])
+            return None, u
+
+        _, slabs = jax.lax.scan(s_emit, None, jnp.arange(S))  # (S, n_p+1, C)
+        return jnp.moveaxis(slabs, 0, -1)  # (n_p+1, C, S)
+
+    R0 = jnp.full((n_p + 1, C + S - 1), DEV_INF, jnp.int32)
 
     def s_body(R, s_idx):
         s = st.s_lo + s_idx
@@ -609,6 +654,49 @@ def _kind_all_chunks(A_mod, Rk_pad, fixed, e_bases, B_pre, *, st, PAD):
 
     Rk_pad, _ = jax.lax.scan(body, Rk_pad, e_bases)
     return Rk_pad
+
+
+@partial(jax.jit, static_argnames=("st",))
+def _kind_sel_chunks(A_sel, fixed_sel, B_pre, *, st):
+    """Compacted-column pipeline: the host gathers the live entry columns
+    (and their per-e tables) into a dense (n_p+1, K) matrix; chunks of the
+    COMPACT axis run the module + separate-column assembly, and the
+    (n_p+1, K, S) slab tensor goes back for the host to fold at the real
+    j2 = e + s positions.  One compile per (kind statics, K bucket)."""
+    K = A_sel.shape[1]
+    C = st.chunk
+    out0 = jnp.full((st.n_p + 1, K, st.S), DEV_INF, jnp.int32)
+    n_chunks = -(-K // C)
+    e_bases = jnp.asarray(
+        [np.int32(min(i * C, K - C) if K >= C else 0) for i in range(n_chunks)],
+        jnp.int32,
+    )
+
+    def body(out, e_base):
+        A_chunk = jax.lax.dynamic_slice(A_sel, (0, e_base), (st.n_p + 1, C))
+        if st.same_seq:
+            sc = fixed_sel["seed"][:1]
+            lc = fixed_sel["lut"][:, :1]
+            dc = fixed_sel["sdo"][:1]
+            ec = fixed_sel["sde"][:1]
+        else:
+            sc = jax.lax.dynamic_slice(fixed_sel["seed"], (e_base, 0), (C, st.W))
+            lc = jax.lax.dynamic_slice(
+                fixed_sel["lut"], (0, e_base, 0), (fixed_sel["lut"].shape[0], C, st.W)
+            )
+            dc = jax.lax.dynamic_slice(fixed_sel["sdo"], (e_base, 0), (C, st.W))
+            ec = jax.lax.dynamic_slice(fixed_sel["sde"], (e_base, 0), (C, st.W))
+        slab = _kind_body(A_chunk, sc, lc, dc, ec, fixed_sel, B_pre, st=st)
+        cur = jax.lax.dynamic_slice(out, (0, e_base, 0), (st.n_p + 1, C, st.S))
+        return (
+            jax.lax.dynamic_update_slice(
+                out, jnp.minimum(cur, slab), (0, e_base, 0)
+            ),
+            None,
+        )
+
+    out, _ = jax.lax.scan(body, out0, e_bases)
+    return out
 
 
 def _kind_chunk_step(Rk_pad, *, A_mod, fixed, e_base, B_pre, st, PAD):

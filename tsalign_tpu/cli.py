@@ -165,6 +165,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("-n", "--no-ts-input", default=None)
     s.add_argument("-s", "--svg-output", default=None)
     s.add_argument("-p", "--png-output", default=None)
+    s.add_argument("--png-zoom", type=float, default=2.0)
     s.add_argument("-z", "--context", type=int, default=None)
     s.add_argument("-a", "--arrows", action="store_true")
     s.add_argument("-c", "--complements", action="store_true")
@@ -421,12 +422,27 @@ def cmd_show(args) -> int:
         with open(args.svg_output, "w") as f:
             f.write(svg)
     if args.png_output:
-        print(
-            "png rendering requires an external rasterizer; emit SVG with -s "
-            "and convert (no rasterizer is bundled in this environment)",
-            file=sys.stderr,
-        )
-        return 2
+        # show.rs -p renders the SVG to PNG via resvg (lib_tsshow/src/lib.rs:8);
+        # here the shared render plan is rasterized directly.
+        from .show.png import render_png
+        from .show.svg import build_plan, create_error_svg
+
+        if not result.has_target:
+            print("alignment has no target; no PNG written", file=sys.stderr)
+            return 2
+        try:
+            plan = build_plan(
+                result,
+                no_ts,
+                arrows=args.arrows,
+                context=args.context,
+                complements=args.complements,
+                equal_cost_ranges=args.equal_cost_ranges,
+            )
+            render_png(plan, args.png_output, zoom=args.png_zoom)
+        except RuntimeError as e:
+            print(str(e), file=sys.stderr)
+            return 2
     return 0
 
 

@@ -443,12 +443,14 @@ class JaxAligner:
         """Enqueue the compacted-column pipeline for one kind: gather the
         live entry columns and their per-e tables into a Kb bucket and
         dispatch _kind_sel_chunks (returns the un-materialized device
-        slab tensor)."""
+        field, already folded at the true j2 = e + s positions)."""
         from .ops.jax_modules import _kind_sel_chunks
 
         spec = km.spec
         A_sel = np.full((spec.n_p + 1, Kb), int(DEV_INF), np.int32)
         A_sel[:, : e_live.size] = A_mod[:, e_live]
+        e_sel = np.zeros(Kb, np.int32)  # sentinel 0: DEV_INF columns fold as no-ops
+        e_sel[: e_live.size] = e_live.astype(np.int32)
         fixed_sel = dict(km._fixed)
         if not spec.same_seq:
             W = km.W
@@ -468,24 +470,23 @@ class JaxAligner:
                 sde=jnp.asarray(sde_sel),
             )
         st_sel = km._static._replace(separate_cols=True)
-        return _kind_sel_chunks(jnp.asarray(A_sel), fixed_sel, B_pre, st=st_sel)
+        PAD = max(0, -km.s_lo)
+        OUTW = PAD + spec.n_anti + 1 + max(0, km.s_hi)
+        return _kind_sel_chunks(
+            jnp.asarray(A_sel),
+            jnp.asarray(e_sel),
+            fixed_sel,
+            B_pre,
+            st=st_sel,
+            PAD=PAD,
+            OUTW=OUTW,
+        )
 
     def _fold_compact(self, km, dev_out, e_live) -> np.ndarray:
-        """Materialize the (n_p+1, Kb, S) slab tensor and min-fold each live
-        column's s-slab at its true j2 = e + s positions."""
+        """Materialize the device-folded field and cut the real j2 range."""
         spec = km.spec
-        n_anti = spec.n_anti
-        out = np.array(dev_out)
-        S = km._static.S
-        Rk = np.full((spec.n_p + 1, n_anti + 1), int(DEV_INF), np.int32)
-        for i, e in enumerate(e_live):
-            lo = int(e) + km.s_lo
-            a, b = max(lo, 0), min(lo + S, n_anti + 1)
-            if a >= b:
-                continue
-            tgt = Rk[:, a:b]
-            np.minimum(tgt, out[:, i, a - lo : b - lo], out=tgt)
-        return Rk
+        PAD = max(0, -km.s_lo)
+        return np.array(dev_out)[:, PAD : PAD + spec.n_anti + 1]
 
     def _as_seeds(self, R_cells: np.ndarray) -> np.ndarray:
         cfg = self.config

@@ -488,67 +488,49 @@ def _assembly(B, A_chunk, fixed, st):
     S = st.S
     row_idx = jnp.arange(n_p + 1)
 
+    # All s-positions at once: every per-s window lookup is a lookup at the
+    # static offset t = OFF + s - plan.b over the contiguous static range
+    # s in [s_lo, s_hi], i.e. one static slice of width S — the former
+    # S-step lax.scan serialized ~hundreds of small device ops per chunk
+    # and dominated the kind execute time.
+    U = jnp.full((n_p + 1, C, S), DEV_INF, jnp.int32)
+    for plan, sw, band in seg_arrays:
+        t0 = OFF + st.s_lo - plan.b  # start-anchored window index at s_lo
+        val = jax.lax.slice(
+            sw, (0, 0, t0), (n_p + 1, C, t0 + S)
+        )
+        if band is not None:
+            b0, b1, bq = band
+            te0 = OFF + st.s_lo - plan.a
+            bval = jax.lax.slice(bq, (0, 0, te0), (b1 - b0 + 1, C, te0 + S))
+            val = jax.lax.dynamic_update_slice(val, bval, (b0, 0, 0))
+        if plan.positive:
+            kill = row_idx[:, None, None] > plan.kill_from - 1
+        else:
+            kill = row_idx[:, None, None] < plan.kill_from
+        val = jnp.where(kill, DEV_INF, val)
+        U = jnp.minimum(U, sat_add(val, np.int32(min(plan.cost, int(DEV_INF)))))
+    # ldiff = 0 exact term (always walk-feasible)
+    v0 = jax.lax.slice(
+        D3pad, (0, 0, OFF + st.s_lo), (n_p + 1, C, OFF + st.s_lo + S)
+    )
+    U = jnp.minimum(U, sat_add(v0, np.int32(st.ldiff0)))
+    U = sat_add(U, anti_vec[None, None, :])
+
     if getattr(st, "separate_cols", False):
-        # Compacted-column mode: emit each entry column's full s-slab
-        # (n_p+1, C, S) instead of folding into contiguous output columns
-        # (the selected e's are not adjacent, so j2 = e + s is resolved by
-        # the host fold).
-        def s_emit(_, s_idx):
-            s = st.s_lo + s_idx
-            u = jnp.full((n_p + 1, C), DEV_INF, jnp.int32)
-            for plan, sw, band in seg_arrays:
-                t = OFF + s - plan.b
-                val = jax.lax.dynamic_slice(sw, (0, 0, t), (n_p + 1, C, 1))[..., 0]
-                if band is not None:
-                    b0, b1, bq = band
-                    t_end = OFF + s - plan.a
-                    bval = jax.lax.dynamic_slice(
-                        bq, (0, 0, t_end), (b1 - b0 + 1, C, 1)
-                    )[..., 0]
-                    val = jax.lax.dynamic_update_slice(val, bval, (b0, 0))
-                if plan.positive:
-                    val = jnp.where(row_idx[:, None] > plan.kill_from - 1, DEV_INF, val)
-                else:
-                    val = jnp.where(row_idx[:, None] < plan.kill_from, DEV_INF, val)
-                u = jnp.minimum(u, sat_add(val, np.int32(min(plan.cost, int(DEV_INF)))))
-            v0 = jax.lax.dynamic_slice(D3pad, (0, 0, OFF + s), (n_p + 1, C, 1))[..., 0]
-            u = jnp.minimum(u, sat_add(v0, np.int32(st.ldiff0)))
-            u = sat_add(u, anti_vec[s_idx])
-            return None, u
+        # Compacted-column mode: each entry column's full s-slab
+        # (n_p+1, C, S); the caller folds at the true j2 = e + s positions.
+        return U
 
-        _, slabs = jax.lax.scan(s_emit, None, jnp.arange(S))  # (S, n_p+1, C)
-        return jnp.moveaxis(slabs, 0, -1)  # (n_p+1, C, S)
-
-    R0 = jnp.full((n_p + 1, C + S - 1), DEV_INF, jnp.int32)
-
-    def s_body(R, s_idx):
-        s = st.s_lo + s_idx
-        u = jnp.full((n_p + 1, C), DEV_INF, jnp.int32)
-        for plan, sw, band in seg_arrays:
-            t = OFF + s - plan.b  # start-anchored window index
-            val = jax.lax.dynamic_slice(sw, (0, 0, t), (n_p + 1, C, 1))[..., 0]
-            if band is not None:
-                b0, b1, bq = band
-                t_end = OFF + s - plan.a
-                bval = jax.lax.dynamic_slice(
-                    bq, (0, 0, t_end), (b1 - b0 + 1, C, 1)
-                )[..., 0]
-                val = jax.lax.dynamic_update_slice(val, bval, (b0, 0))
-            if plan.positive:
-                val = jnp.where(row_idx[:, None] > plan.kill_from - 1, DEV_INF, val)
-            else:
-                val = jnp.where(row_idx[:, None] < plan.kill_from, DEV_INF, val)
-            u = jnp.minimum(u, sat_add(val, np.int32(min(plan.cost, int(DEV_INF)))))
-        # ldiff = 0 exact term (always walk-feasible)
-        v0 = jax.lax.dynamic_slice(D3pad, (0, 0, OFF + s), (n_p + 1, C, 1))[..., 0]
-        u = jnp.minimum(u, sat_add(v0, np.int32(st.ldiff0)))
-        u = sat_add(u, anti_vec[s_idx])
-        cur = jax.lax.dynamic_slice(R, (0, s_idx), (n_p + 1, C))
-        R = jax.lax.dynamic_update_slice(R, jnp.minimum(cur, u), (0, s_idx))
-        return R, None
-
-    R_pad, _ = jax.lax.scan(s_body, R0, jnp.arange(S))
-    return R_pad
+    # Diagonal min-fold R_pad[p, c + s] = min_c U[p, c, s] via the skew
+    # reshape: pad rows to length S + C, flatten, drop the tail, reshape to
+    # (C, S + C - 1) — row c lands shifted right by c — then min over c.
+    V = jnp.concatenate(
+        [U, jnp.full((n_p + 1, C, C), DEV_INF, jnp.int32)], axis=-1
+    )
+    flat = V.reshape(n_p + 1, C * (S + C))
+    skewed = flat[:, : C * (S + C) - C].reshape(n_p + 1, C, S + C - 1)
+    return jnp.min(skewed, axis=1)
 
 
 def _band_correction(st, plan: _SegPlan, D3pad, n_p: int, C: int):
@@ -656,21 +638,35 @@ def _kind_all_chunks(A_mod, Rk_pad, fixed, e_bases, B_pre, *, st, PAD):
     return Rk_pad
 
 
-@partial(jax.jit, static_argnames=("st",))
-def _kind_sel_chunks(A_sel, fixed_sel, B_pre, *, st):
+@partial(jax.jit, static_argnames=("st", "PAD", "OUTW"))
+def _kind_sel_chunks(A_sel, e_sel, fixed_sel, B_pre, *, st, PAD, OUTW):
     """Compacted-column pipeline: the host gathers the live entry columns
     (and their per-e tables) into a dense (n_p+1, K) matrix; chunks of the
-    COMPACT axis run the module + separate-column assembly, and the
-    (n_p+1, K, S) slab tensor goes back for the host to fold at the real
-    j2 = e + s positions.  One compile per (kind statics, K bucket)."""
+    COMPACT axis run the module + separate-column assembly, and each
+    column's contiguous s-slab is min-folded ON DEVICE at its true
+    j2 = e + s position (a K-step inner scan of dense (n_p+1, S) mins) so
+    only the folded (n_p+1, OUTW) field transfers back - the raw
+    (n_p+1, K, S) slab is 10-100x larger and dominated the relay transfer
+    time.  One compile per (kind statics, K bucket)."""
     K = A_sel.shape[1]
     C = st.chunk
-    out0 = jnp.full((st.n_p + 1, K, st.S), DEV_INF, jnp.int32)
+    out0 = jnp.full((st.n_p + 1, OUTW), DEV_INF, jnp.int32)
     n_chunks = -(-K // C)
     e_bases = jnp.asarray(
         [np.int32(min(i * C, K - C) if K >= C else 0) for i in range(n_chunks)],
         jnp.int32,
     )
+
+    def fold_body(out, args):
+        col_slab, e = args  # (n_p+1, S), scalar true entry column
+        lo = e + np.int32(st.s_lo + PAD)
+        cur = jax.lax.dynamic_slice(out, (0, lo), (st.n_p + 1, st.S))
+        return (
+            jax.lax.dynamic_update_slice(
+                out, jnp.minimum(cur, col_slab), (0, lo)
+            ),
+            None,
+        )
 
     def body(out, e_base):
         A_chunk = jax.lax.dynamic_slice(A_sel, (0, e_base), (st.n_p + 1, C))
@@ -687,13 +683,11 @@ def _kind_sel_chunks(A_sel, fixed_sel, B_pre, *, st):
             dc = jax.lax.dynamic_slice(fixed_sel["sdo"], (e_base, 0), (C, st.W))
             ec = jax.lax.dynamic_slice(fixed_sel["sde"], (e_base, 0), (C, st.W))
         slab = _kind_body(A_chunk, sc, lc, dc, ec, fixed_sel, B_pre, st=st)
-        cur = jax.lax.dynamic_slice(out, (0, e_base, 0), (st.n_p + 1, C, st.S))
-        return (
-            jax.lax.dynamic_update_slice(
-                out, jnp.minimum(cur, slab), (0, e_base, 0)
-            ),
-            None,
+        e_chunk = jax.lax.dynamic_slice(e_sel, (e_base,), (C,))
+        out, _ = jax.lax.scan(
+            fold_body, out, (jnp.moveaxis(slab, 1, 0), e_chunk)
         )
+        return out, None
 
     out, _ = jax.lax.scan(body, out0, e_bases)
     return out

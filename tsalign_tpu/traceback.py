@@ -45,8 +45,16 @@ class _ModuleColumn:
     def __init__(self, spec: KindSpec, config, ref, qry, b: int, p1: int, allow_sdel: bool):
         self.spec = spec
         self._p1 = p1
-        comp = config.alphabet.complement_array().astype(np.int64)
-        table = config.secondary_edit_costs(_DK[spec.dk])
+        # Poison padding char (index == alphabet size, chained-mode bucketed
+        # segments) complements to itself and prices as INF via the padded
+        # table (jax_primary._pad_table_for_poison).
+        from .ops.jax_primary import _pad_table_for_poison
+
+        A = config.alphabet.size
+        comp = np.append(
+            config.alphabet.complement_array().astype(np.int64), A
+        )
+        table = _pad_table_for_poison(config.secondary_edit_costs(_DK[spec.dk]))
         P = np.asarray(ref if spec.pk == 0 else qry, dtype=np.int64)
         sec = np.asarray(ref if spec.sk == 0 else qry, dtype=np.int64)
         n_s, r_lo, r_hi = spec.n_s, spec.r_lo, spec.r_hi

@@ -3,9 +3,11 @@ hardest shipped case, twin_heli_MDC1-AS1_10 (493/419 bp, 2 TSMs), which the
 reference solves in 69.62 s single-core (test_files/twin_heli_MDC1-AS1_10.toml
 statistics block; BASELINE.md).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline"}
+first, then a second line with the batched corpus throughput
+(pairs/sec through the full record pipeline + DP cells/sec on device).
 
-The measurement runs in a child process with a hard timeout and one retry:
+Each measurement runs in a child process with a hard timeout and one retry:
 the TPU relay in this environment occasionally wedges on compile bursts, and
 a wedged child must be replaced, not waited on.
 """
@@ -63,23 +65,84 @@ def _measure(q):
     q.put({"cost": res.cost, "wall": wall})
 
 
-def main():
-    result = None
+THROUGHPUT_PAIRS = [
+    "twin_100_0.01",
+    "twin_100_0.02",
+    "twin_100_0.03",
+    "twin_100_eq",
+    "twin_100_gap10",
+    "twin_200_0.01",
+    "twin_200_0.02",
+    "twin_200_0.03",
+]
+
+
+def _measure_throughput(q):
+    """Batched corpus throughput: a bucket of twin pairs through the full
+    batched record pipeline (BatchedTSAligner rounds on device + traceback
+    + TOML-ready records), BASELINE.md's pairs/sec + cells/sec metrics."""
+    import numpy as np
+
+    from tsalign_tpu.alphabet import get_alphabet
+    from tsalign_tpu.config import TemplateSwitchConfig
+    from tsalign_tpu.fasta import parse_pair_fasta_file
+    from tsalign_tpu.parallel.batch_ts import BatchedTSAligner, align_pairs
+
+    al = get_alphabet("dna-n")
+    cfg = TemplateSwitchConfig.from_path(
+        "/root/reference/sample_tsa_config/config.tsa", al
+    )
+    pairs = []
+    for name in THROUGHPUT_PAIRS:
+        r, qy = parse_pair_fasta_file(f"/root/reference/test_files/{name}.fa")
+        pairs.append((r.sequence.upper(), qy.sequence.upper()))
+    enc = [(al.encode(r), al.encode(qy)) for r, qy in pairs]
+
+    # Device rounds throughput (cost field sweeps), warm after one run.
+    bt = BatchedTSAligner(cfg, enc)
+    bt.align()
+    t0 = time.monotonic()
+    results = BatchedTSAligner(cfg, enc).align()
+    rounds_wall = time.monotonic() - t0
+    sweeps = sum(r.rounds for r in results)
+    F = cfg.left_flank_length + cfg.right_flank_length + 1
+    cells = sweeps * F * 3 * (bt.nr + 1) * (bt.nq + 1)
+
+    # Full record pipeline throughput (records with traceback, extension,
+    # equal-cost ranges), warm.
+    align_pairs(cfg, pairs)
+    t0 = time.monotonic()
+    records = align_pairs(cfg, pairs)
+    records_wall = time.monotonic() - t0
+    q.put(
+        {
+            "pairs": len(pairs),
+            "pairs_per_sec": len(pairs) / records_wall,
+            "cells_per_sec": cells / rounds_wall,
+            "all_found": all(r.has_target for r in records),
+        }
+    )
+
+
+def _run_child(target, timeout0):
     for attempt in range(3):
         q = mp.Queue()
-        p = mp.Process(target=_measure, args=(q,))
+        p = mp.Process(target=target, args=(q,))
         p.start()
-        p.join(timeout=1500 if attempt == 0 else 900)
+        p.join(timeout=timeout0 if attempt == 0 else 900)
         if p.is_alive():
             p.kill()
             p.join()
             time.sleep(90)  # give the relay time to recover
             continue
         if not q.empty():
-            result = q.get()
-            break
+            return q.get()
         time.sleep(60)
+    return None
 
+
+def main():
+    result = _run_child(_measure, 1500)
     if result is None:
         print(
             json.dumps(
@@ -92,21 +155,54 @@ def main():
                 }
             )
         )
-        return
-
-    wall = result["wall"]
-    print(
-        json.dumps(
-            {
-                "metric": "twin_heli_MDC1-AS1_10_ts_align_wall",
-                "value": round(wall, 4),
-                "unit": "s",
-                "vs_baseline": round(BASELINE_SECONDS / wall, 2),
-                "cost": result["cost"],
-                "cost_ok": result["cost"] <= GOLDEN_COST,
-            }
+    else:
+        wall = result["wall"]
+        print(
+            json.dumps(
+                {
+                    "metric": "twin_heli_MDC1-AS1_10_ts_align_wall",
+                    "value": round(wall, 4),
+                    "unit": "s",
+                    "vs_baseline": round(BASELINE_SECONDS / wall, 2),
+                    "cost": result["cost"],
+                    "cost_ok": result["cost"] <= GOLDEN_COST,
+                }
+            ),
+            flush=True,
         )
-    )
+
+    tp = _run_child(_measure_throughput, 1500)
+    if tp is None:
+        print(
+            json.dumps(
+                {
+                    "metric": "batched_pairs_throughput",
+                    "value": None,
+                    "unit": "pairs/s",
+                    "vs_baseline": None,
+                    "error": "TPU unavailable/wedged after retries",
+                }
+            )
+        )
+    else:
+        # Reference point: single-core, the statistics blocks put simple
+        # 100-200 bp no-TS cases at ~0.04-0.07 s but full TS search on
+        # them is the 69 s class; there is no shipped corpus number, so
+        # vs_baseline is omitted for this metric.
+        print(
+            json.dumps(
+                {
+                    "metric": "batched_pairs_throughput",
+                    "value": round(tp["pairs_per_sec"], 3),
+                    "unit": "pairs/s",
+                    "vs_baseline": None,
+                    "pairs": tp["pairs"],
+                    "cells_per_sec": int(tp["cells_per_sec"]),
+                    "all_found": tp["all_found"],
+                }
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

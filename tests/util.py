@@ -90,6 +90,42 @@ def random_pair(rng, alphabet, max_len=10, min_len=0):
     return ref, qry
 
 
+def related_pair_scaled(rng, alphabet, n, ts_len):
+    """A length-n pair with a few SNPs and one planted reverse-complement
+    stretch of ts_len — low optimal cost, so the Dijkstra oracle stays
+    tractable at n = 40-80 while window clipping and drift budgets bind."""
+    ref = rng.integers(0, alphabet.size, size=n).astype(np.int8)
+    qry = list(ref)
+    for _ in range(int(rng.integers(1, 4))):
+        k = int(rng.integers(0, len(qry)))
+        qry[k] = int(rng.integers(0, alphabet.size))
+    comp = alphabet.complement_array()
+    a = int(rng.integers(4, n - ts_len - 4))
+    qry[a : a + ts_len] = [int(comp[c]) for c in qry[a : a + ts_len]][::-1]
+    if rng.random() < 0.4:
+        k = int(rng.integers(0, len(qry) - 1))
+        del qry[k]
+    return ref, np.array(qry, dtype=np.int8)
+
+
+def binding_window_config(rng, alphabet, left_flank, right_flank, ts_lo=5, ts_hi=12):
+    """Random config with flanks up to 4 and adversarially narrow windows:
+    the TS length window covers [ts_lo, ts_hi] and the drift budgets
+    (length-difference, anti-primary-gap) have spans of only 2-3 so the
+    engines' live-window clipping is actually exercised."""
+    cfg = random_config(rng, alphabet, flanks=False)
+    cfg.left_flank_length = left_flank
+    cfg.right_flank_length = right_flank
+    cfg.length_costs = CostFunction(
+        [(0, INF), (ts_lo, int(rng.integers(0, 3))), (ts_hi + 1, INF)]
+    )
+    cfg.length_difference_costs = random_v_shaped(rng, span=2)
+    cfg.forward_anti_primary_gap_costs = random_v_shaped(rng, span=3)
+    cfg.reverse_anti_primary_gap_costs = random_v_shaped(rng, span=3)
+    cfg.verify()
+    return cfg
+
+
 def related_pair(rng, alphabet, max_len=14):
     """A pair where query is a mutated copy of reference (more realistic)."""
     n = int(rng.integers(4, max_len + 1))

@@ -543,6 +543,16 @@ class JaxAligner:
         delta = min_tsm_cost_bound(self.config)
         kinds = None
         A = None
+        # Delta-incremental reentry: the reentry field is a running min of
+        # per-column contributions, and a column is relaunched only when
+        # some entry value in it improved since its last launch.  Every
+        # folded contribution is the cost of a genuine <=k-TSM prefix, and
+        # any cell that reaches a new (lower) value is relaunched, so the
+        # accumulated field equals the full relaunch-everything field on
+        # every cell an optimal path can use - confirmation rounds whose
+        # entry values are stable launch (almost) nothing.
+        A_launched = None
+        R_acc = None
         for k in range(1, self.max_rounds + 1):
             # Exact early stop: a further improvement needs a path with k
             # template switches, costing at least k * delta.  Checked before
@@ -567,7 +577,14 @@ class JaxAligner:
             if A is None:
                 A = self._pruned_entry(M, best)
             t0 = time.monotonic()
-            R = self._reentry(A, kinds, best=best)
+            if A_launched is None:
+                A_delta = A
+            else:
+                A_delta = np.where(A < A_launched, A, np.int32(DEV_INF))
+            R_new = self._reentry(A_delta, kinds, best=best)
+            R_acc = R_new if R_acc is None else np.minimum(R_acc, R_new)
+            A_launched = A if A_launched is None else np.minimum(A_launched, A)
+            R = R_acc
             keepR(R)
             seeds = np.minimum(root, self._as_seeds(R))
             M_next = self._sweep_host(seeds, True)

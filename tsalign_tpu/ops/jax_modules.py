@@ -156,7 +156,7 @@ class JaxKindModule:
         if not spec.same_seq:
             W_pad = -(-(spec.r_hi - spec.r_lo + 1) // 128) * 128
             A = config.alphabet.size
-            while self.chunk > 8 and 4 * (14 * 8 + A + 4) * self.chunk * W_pad > 10 * 2**20:
+            while self.chunk > 8 and 4 * (14 * 8 + A + 4) * self.chunk * W_pad > 24 * 2**20:
                 self.chunk //= 2
         self.allow_sdel = allow_secondary_deletions
         self.anti_lo, self.anti_hi = anti_lo, anti_hi

@@ -30,8 +30,15 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .jaxcommon import DEV_INF
+
+# The Mosaic scoped-VMEM default is 16 MB; v5e has 128 MB of VMEM.  The
+# module kernel's working set (14 int32 planes per entry row plus the kind
+# LUT) is sized against the budget in JaxKindModule, which assumes this
+# raised ceiling.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20)
 
 GAP_NONE, GAP_INS, GAP_DEL = 0, 1, 2
 
@@ -176,6 +183,7 @@ def module_scan_pallas(
         ],
         out_specs=pl.BlockSpec((L + 1, BP, C), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((L + 1, nb * BP, C), jnp.int32),
+        compiler_params=None if interpret else _VMEM_LIMIT,
         interpret=interpret,
     )(seedT, lut, sdo, sde, pchar.T, pmask.T, io.T, ie.T)
     return out[:, :NB]

@@ -22,8 +22,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .jaxcommon import DEV_INF
+
+# Mosaic's scoped-VMEM default is 16 MB; v5e has 128 MB.  Large primary
+# fields (e.g. the 1099x1099 ari golden) need the raised ceiling.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20)
 
 GAP_NONE, GAP_INS, GAP_DEL = 0, 1, 2
 
@@ -147,6 +152,7 @@ def sweep_pallas_flankless(sub_rows, ddrows, seeds, io, ie, *, interpret=False):
         ],
         out_specs=pl.BlockSpec((n_rows, 3, Wq), lambda i: (0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_rows, 3, Wq), jnp.int32),
+        compiler_params=None if interpret else _VMEM_LIMIT,
         interpret=interpret,
     )(sub_b, dd_b, seeds, io[None], ie[None])
     return out

@@ -451,35 +451,23 @@ class JaxAligner:
         A_sel[:, : e_live.size] = A_mod[:, e_live]
         e_sel = np.zeros(Kb, np.int32)  # sentinel 0: DEV_INF columns fold as no-ops
         e_sel[: e_live.size] = e_live.astype(np.int32)
-        fixed_sel = dict(km._fixed)
-        if not spec.same_seq:
-            W = km.W
-            seed_sel = np.full((Kb, W), int(DEV_INF), np.int32)
-            seed_sel[: e_live.size] = np.asarray(km.seed)[e_live]
-            lut_host = np.asarray(km.sub_lut)
-            lut_sel = np.full((lut_host.shape[0], Kb, W), int(DEV_INF), np.int32)
-            lut_sel[:, : e_live.size] = lut_host[:, e_live]
-            sdo_sel = np.full((Kb, W), int(DEV_INF), np.int32)
-            sdo_sel[: e_live.size] = np.asarray(km.sdel_open)[e_live]
-            sde_sel = np.full((Kb, W), int(DEV_INF), np.int32)
-            sde_sel[: e_live.size] = np.asarray(km.sdel_ext)[e_live]
-            fixed_sel.update(
-                seed=jnp.asarray(seed_sel),
-                lut=jnp.asarray(lut_sel),
-                sdo=jnp.asarray(sdo_sel),
-                sde=jnp.asarray(sde_sel),
-            )
+        # The big per-entry tables (seed/lut/sdo/sde) stay resident on the
+        # device (km._fixed, transferred once per alignment); the jitted
+        # pipeline gathers the live columns by e_sel itself.  Only the
+        # small pruned entry matrix and the index vector cross the relay
+        # per round.
         st_sel = km._static._replace(separate_cols=True)
         PAD = max(0, -km.s_lo)
         OUTW = PAD + spec.n_anti + 1 + max(0, km.s_hi)
         return _kind_sel_chunks(
             jnp.asarray(A_sel),
             jnp.asarray(e_sel),
-            fixed_sel,
+            km._fixed,
             B_pre,
             st=st_sel,
             PAD=PAD,
             OUTW=OUTW,
+            gather=True,
         )
 
     def _fold_compact(self, km, dev_out, e_live) -> np.ndarray:

@@ -156,7 +156,8 @@ class JaxKindModule:
         if not spec.same_seq:
             W_pad = -(-(spec.r_hi - spec.r_lo + 1) // 128) * 128
             A = config.alphabet.size
-            while self.chunk > 8 and 4 * (14 * 8 + A + 4) * self.chunk * W_pad > 24 * 2**20:
+            budget = int(os.environ.get("TSALIGN_VMEM_BUDGET_MB", "24")) * 2**20
+            while self.chunk > 8 and 4 * (14 * 8 + A + 4) * self.chunk * W_pad > budget:
                 self.chunk //= 2
         self.allow_sdel = allow_secondary_deletions
         self.anti_lo, self.anti_hi = anti_lo, anti_hi
@@ -638,18 +639,30 @@ def _kind_all_chunks(A_mod, Rk_pad, fixed, e_bases, B_pre, *, st, PAD):
     return Rk_pad
 
 
-@partial(jax.jit, static_argnames=("st", "PAD", "OUTW"))
-def _kind_sel_chunks(A_sel, e_sel, fixed_sel, B_pre, *, st, PAD, OUTW):
+@partial(jax.jit, static_argnames=("st", "PAD", "OUTW", "gather"))
+def _kind_sel_chunks(A_sel, e_sel, fixed_sel, B_pre, *, st, PAD, OUTW, gather=False):
     """Compacted-column pipeline: the host gathers the live entry columns
-    (and their per-e tables) into a dense (n_p+1, K) matrix; chunks of the
-    COMPACT axis run the module + separate-column assembly, and each
-    column's contiguous s-slab is min-folded ON DEVICE at its true
-    j2 = e + s position (a K-step inner scan of dense (n_p+1, S) mins) so
-    only the folded (n_p+1, OUTW) field transfers back - the raw
-    (n_p+1, K, S) slab is 10-100x larger and dominated the relay transfer
-    time.  One compile per (kind statics, K bucket)."""
+    into a dense (n_p+1, K) matrix; chunks of the COMPACT axis run the
+    module + separate-column assembly, and each column's contiguous s-slab
+    is min-folded ON DEVICE at its true j2 = e + s position (a K-step inner
+    scan of dense (n_p+1, S) mins) so only the folded (n_p+1, OUTW) field
+    transfers back - the raw (n_p+1, K, S) slab is 10-100x larger and
+    dominated the relay transfer time.  With gather=True the per-entry
+    tables (seed/lut/sdo/sde) arrive FULL (round-invariant, resident on
+    device) and the live columns are gathered here by e_sel - no per-round
+    host gather/transfer of the big tables.  Sentinel columns (e_sel
+    pointing anywhere) are inert because their A_sel column is DEV_INF and
+    the module seed saturates.  One compile per (kind statics, K bucket)."""
     K = A_sel.shape[1]
     C = st.chunk
+    if gather and not st.same_seq:
+        fixed_sel = dict(
+            fixed_sel,
+            seed=jnp.take(fixed_sel["seed"], e_sel, axis=0),
+            lut=jnp.take(fixed_sel["lut"], e_sel, axis=1),
+            sdo=jnp.take(fixed_sel["sdo"], e_sel, axis=0),
+            sde=jnp.take(fixed_sel["sde"], e_sel, axis=0),
+        )
     out0 = jnp.full((st.n_p + 1, OUTW), DEV_INF, jnp.int32)
     n_chunks = -(-K // C)
     e_bases = jnp.asarray(

@@ -40,6 +40,10 @@ from .engine import DenseAligner
 from .geometry import AlignmentRange
 from .result import AlignmentResult, AStarResultInfo
 
+import logging
+
+logger = logging.getLogger(__name__)
+
 
 def _jax_usable() -> bool:
     try:
@@ -147,12 +151,18 @@ class Aligner:
             try:
                 from .jax_engine import JaxAligner
 
-                return JaxAligner(
-                    cfg, ref_arr, qry_arr, chunk=self.chunk, **kw
-                ).align_with_traceback()
+                eng = JaxAligner(cfg, ref_arr, qry_arr, chunk=self.chunk, **kw)
+                out = eng.align_with_traceback()
+                self._last_cells = getattr(self, "_last_cells", 0) + getattr(
+                    eng, "cells_swept", 0
+                )
+                return out
             except OverflowError:
                 pass  # fall back to the exact int64 numpy engine
-        return DenseAligner(cfg, ref_arr, qry_arr, **kw).align_with_traceback()
+        eng = DenseAligner(cfg, ref_arr, qry_arr, **kw)
+        out = eng.align_with_traceback()
+        self._last_cells += getattr(eng, "cells_swept", 0)
+        return out
 
     def align(
         self,
@@ -200,6 +210,7 @@ class Aligner:
                 )
 
         t0 = time.monotonic()
+        self._last_cells = 0  # DP-cell work accumulated by _run_engine_raw
         if self.template_switch_descendant_strategy == "only-equal" and (
             max_ts is None or max_ts > 0
         ):
@@ -233,7 +244,20 @@ class Aligner:
         else:
             result = AStarResultInfo(type="FoundTarget", cost=cost)
 
+        # Honest work accounting in the reference's statistics slots:
+        # opened_nodes = DP cells computed (sweep layers x rounds + module
+        # landing folds); closed_nodes = the live dense state space (one
+        # entry per (flank, gap, cell)).  These are dense-DP counters, not
+        # A* node expansions — comparable as work, not one-to-one
+        # (documented in README/PARITY; reference fills node counts at
+        # alignment_result.rs:50-82).
+        F = self.costs.left_flank_length + self.costs.right_flank_length + 1
         cells = (len(ref_arr) + 1) * (len(qry_arr) + 1)
+        opened = self._last_cells or cells
+        if duration > 0:
+            logger.debug(
+                "DP work: %d cells, %.3g cells/sec", opened, opened / duration
+            )
         res = AlignmentResult.new(
             alignment=alignment,
             reference=reference.upper(),
@@ -246,8 +270,8 @@ class Aligner:
             query_offset=rng.query_offset,
             result=result,
             duration_seconds=duration,
-            opened_nodes=cells,
-            closed_nodes=cells,
+            opened_nodes=opened,
+            closed_nodes=F * 3 * cells,
             suboptimal_opened_nodes=0,
         )
         return TSPairwiseAlignment(res)

@@ -153,6 +153,13 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--force-no-preprocessing", action="store_true")
     a.add_argument("--force-label-correcting-all", dest="_flc2", action="store_true",
                    help=argparse.SUPPRESS)
+    a.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="write a jax.profiler trace of the alignment to DIR "
+        "(TPU counterpart of the reference's DEBUG_ASTAR tracing)",
+    )
 
     pre = sub.add_parser("preprocess", help="precompute chained-mode caches")
     pre.add_argument("-c", "--configuration-directory", required=True)
@@ -215,20 +222,28 @@ def cmd_align(args) -> int:
         no_ts=args.no_ts,
         engine=args.engine,
     )
-    result = aligner.align(
-        ref_rec.sequence,
-        qry_rec.sequence,
-        reference_name=ref_rec.display_name,
-        query_name=qry_rec.display_name,
-        range_=rng,
-        cost_limit=args.cost_limit,
-        memory_limit=args.memory_limit,
-        max_template_switches=args.max_template_switches,
-        prune_range=args.prune_range,
-        # The reference passes !cli.dont_extend_beyond_range into the
-        # aligner (template_switch_distance_type_selectors.rs:437).
-        extend_beyond_range=not args.dont_extend_beyond_range,
-    )
+    import contextlib
+
+    prof: contextlib.AbstractContextManager = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        prof = jax.profiler.trace(args.profile)
+    with prof:
+        result = aligner.align(
+            ref_rec.sequence,
+            qry_rec.sequence,
+            reference_name=ref_rec.display_name,
+            query_name=qry_rec.display_name,
+            range_=rng,
+            cost_limit=args.cost_limit,
+            memory_limit=args.memory_limit,
+            max_template_switches=args.max_template_switches,
+            prune_range=args.prune_range,
+            # The reference passes !cli.dont_extend_beyond_range into the
+            # aligner (template_switch_distance_type_selectors.rs:437).
+            extend_beyond_range=not args.dont_extend_beyond_range,
+        )
     toml = result.to_toml()
     if args.output:
         with open(args.output, "w") as f:

@@ -95,6 +95,10 @@ class DenseAligner:
             range_=self._sweep_range,
             allow_flank_climb=climb,
         )
+        F = self.config.left_flank_length + self.config.right_flank_length + 1
+        self.cells_swept = getattr(self, "cells_swept", 0) + F * 3 * (
+            (len(self.ref) + 1) * (len(self.qry) + 1)
+        )
         return sweep.sweep(seeds)
 
     def _root_seeds(self) -> np.ndarray:
@@ -142,6 +146,10 @@ class DenseAligner:
         if not hasattr(self, "_module_cache"):
             self._module_cache = {}
         lb = self._remaining_bound() if best < INF else None
+        # Work accounting (surfaced as opened_nodes: DP cells computed).
+        self.cells_swept = getattr(self, "cells_swept", 0) + 8 * (
+            (len(self.ref) + 1) * (len(self.qry) + 1)
+        )
         return compute_reentry_fields(
             self.config,
             self.ref,

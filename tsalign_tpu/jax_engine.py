@@ -316,6 +316,10 @@ class JaxAligner:
                 (A64 < int(DEV_INF) // 2) & (lb.S < INF), A64 + lb.S, INF
             )
         R_cells = np.full((self.n_r + 1, self.n_q + 1), int(DEV_INF), np.int32)
+        # Work accounting (surfaced as opened_nodes: DP cells computed).
+        self.cells_swept = getattr(self, "cells_swept", 0) + len(kinds) * (
+            (self.n_r + 1) * (self.n_q + 1)
+        )
         # Two phases: enqueue every kind's chunk scan first (dispatch is
         # async, so the device pipelines the 8 independent kind programs
         # back-to-back), then materialize and fold — a per-kind np.array()
@@ -488,6 +492,10 @@ class JaxAligner:
     def _sweep_host(self, seeds_host: np.ndarray, climb: bool) -> np.ndarray:
         """Run the device sweep from host seeds, returning the host field."""
         M = self._get_sweep(climb).sweep(jnp.asarray(seeds_host))
+        F = self.config.left_flank_length + self.config.right_flank_length + 1
+        self.cells_swept = getattr(self, "cells_swept", 0) + F * 3 * (
+            (self.n_r + 1) * (self.n_q + 1)
+        )
         return np.asarray(M)
 
     def align(self) -> JaxEngineResult:

@@ -100,3 +100,79 @@ def test_batched_align_pairs_records():
             assert price_alignment(cfg, ra, qa, aln) == rec.result.cost
         # the TOML round-trips through the reference schema
         assert AlignmentResult.from_toml(rec.to_toml()) == rec
+
+
+def test_sp_reentry_matches_unsharded():
+    """Sequence-parallel module sweeps: the chunk-sharded reentry field
+    (parallel/sp_reentry.py, pmin over the mesh axis) equals the
+    single-device chunked route for every kind."""
+    import jax
+    import jax.numpy as jnp
+
+    from tsalign_tpu.config import TemplateSwitchConfig
+    from tsalign_tpu.jax_engine import JaxAligner
+    from tsalign_tpu.ops.jax_modules import _kind_all_chunks, _same_module_jit
+    from tsalign_tpu.ops.jaxcommon import DEV_INF, to_device_costs
+    from tsalign_tpu.parallel.sp_reentry import sp_reentry
+    from util import related_pair_scaled
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = Mesh(np.array(devs), ("sp",))
+
+    rng = np.random.default_rng(9)
+    al = get_alphabet("dna")
+    cfg = TemplateSwitchConfig.default(al)
+    ref, qry = related_pair_scaled(rng, al, 70, 8)
+    ja = JaxAligner(cfg, ref, qry, chunk=8, keep_fields=False)
+    root = np.asarray(to_device_costs(ja._root_seeds_host()))
+    M = ja._sweep_host(root, True)
+    best = ja._target_cost(M) + 40  # loose: keep all kinds/chunks live
+    ja._last_budget = ja._sdel_budget(best)
+    kinds = ja._build_kinds(ja._last_budget)
+    assert kinds, "default config must keep kinds active"
+    A = ja._pruned_entry(M, best)
+
+    # Unsharded chunked route, all chunks live.
+    expect = np.full((ja.n_r + 1, ja.n_q + 1), int(DEV_INF), np.int32)
+    for km in kinds:
+        spec = km.spec
+        A_mod = A if spec.pk == 0 else A.T
+        n_e = spec.n_anti + 1
+        C = km.chunk
+        if A_mod.shape[1] < C:
+            A_mod = np.pad(
+                A_mod, ((0, 0), (0, C - A_mod.shape[1])),
+                constant_values=int(DEV_INF),
+            )
+        if spec.same_seq:
+            if getattr(km, "_b_pre_cache", None) is None:
+                km._b_pre_cache = _same_module_jit(km._fixed, st=km._static)
+            B_pre = km._b_pre_cache
+        else:
+            B_pre = jnp.zeros((1, 1), jnp.int32)
+        PAD = max(0, -km.s_lo)
+        width = PAD + n_e + max(0, C - 1 + km.s_hi)
+        bases = [
+            np.int32(min(e0, n_e - C) if n_e >= C else 0)
+            for e0 in range(0, n_e, C)
+        ]
+        Rk = np.array(
+            _kind_all_chunks(
+                jnp.asarray(np.ascontiguousarray(A_mod)),
+                jnp.full((spec.n_p + 1, width), DEV_INF, jnp.int32),
+                km._fixed,
+                jnp.asarray(bases, jnp.int32),
+                B_pre,
+                st=km._static,
+                PAD=PAD,
+            )
+        )[:, PAD : PAD + n_e]
+        Rk[:, spec.n_anti] = int(DEV_INF)
+        if spec.pk == 1:
+            Rk = Rk.T
+        np.minimum(expect, Rk, out=expect)
+
+    got = sp_reentry(ja, A, kinds, mesh)
+    np.testing.assert_array_equal(got, expect)

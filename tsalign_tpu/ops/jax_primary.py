@@ -120,6 +120,25 @@ class JaxPrimarySweep:
                 jnp.asarray(ie),
             )
             return M.transpose(1, 0, 2)[None]
+        if self.F > 1 and self._pallas_ok():
+            from .pallas_sweep import sweep_pallas_flanked
+
+            subs, dd, io, ie = self.flanked_inputs()
+            n_rows = self.n_r + 1
+            Wq = self.n_q + 1
+            # (F, 3, n_rows, Wq) -> (n_rows, F*3, Wq), layer-major
+            seeds_r = seeds.reshape(self.F * 3, n_rows, Wq).transpose(1, 0, 2)
+            M = sweep_pallas_flanked(
+                jnp.asarray(subs),
+                jnp.asarray(dd),
+                seeds_r,
+                jnp.asarray(io),
+                jnp.asarray(ie),
+                L=self.L,
+                R=self.R,
+                climb=self.climb,
+            )
+            return M.transpose(1, 0, 2).reshape(self.F, 3, n_rows, Wq)
         arrays = {
             "p": self._rows["primary"],
             "l": self._rows["left"],
@@ -145,14 +164,36 @@ class JaxPrimarySweep:
         ie[: self.n_q] = self._ins["primary"][1]
         return sub_rows, dd, io, ie
 
+    def flanked_inputs(self):
+        """Flanked (F > 1) Pallas sweep inputs: stacked per-table rows.
+
+        subs (3, n_rows, Wq): substitution rows for (primary, left, right),
+        row 0 all-INF, column n_q INF; ddrows (n_rows, 6): del open/ext per
+        table; io/ie (3, Wq): insertion open/extend per table."""
+        n_rows = self.n_r + 1
+        Wq = self.n_q + 1
+        subs = np.full((3, n_rows, Wq), int(DEV_INF), np.int32)
+        dd = np.full((n_rows, 6), int(DEV_INF), np.int32)
+        io = np.full((3, Wq), int(DEV_INF), np.int32)
+        ie = np.full((3, Wq), int(DEV_INF), np.int32)
+        for t, name in enumerate(("primary", "left", "right")):
+            sub, do, de = self._rows[name]
+            subs[t, :, : self.n_q] = sub
+            dd[:, 2 * t] = do
+            dd[:, 2 * t + 1] = de
+            io[t, : self.n_q] = self._ins[name][0]
+            ie[t, : self.n_q] = self._ins[name][1]
+        return subs, dd, io, ie
+
     def _pallas_ok(self) -> bool:
         from .jax_modules import _pallas_default
 
         if not _pallas_default():
             return False
-        # whole-state-resident kernel: stay well inside VMEM
-        bytes_needed = 4 * (self.n_r + 1) * (self.n_q + 1) * 7
-        return bytes_needed <= 12 * 2**20
+        # whole-state-resident kernel: stay well inside VMEM (seeds + out
+        # are each (n_rows, F*3, Wq); subs add 3 more planes)
+        bytes_needed = 4 * (self.n_r + 1) * (self.n_q + 1) * (6 * self.F + 4)
+        return bytes_needed <= 48 * 2**20
 
 
 @partial(jax.jit, static_argnames=("L", "R", "climb"))

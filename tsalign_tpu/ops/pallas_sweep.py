@@ -156,3 +156,160 @@ def sweep_pallas_flankless(sub_rows, ddrows, seeds, io, ie, *, interpret=False):
         interpret=interpret,
     )(sub_b, dd_b, seeds, io[None], ie[None])
     return out
+
+
+def _flanked_kernel(
+    subs_ref,  # (3, nb, 8, Wq) substitution rows per table (p, l, r)
+    dd_ref,  # (nb, 8, 128) del open/ext per row: lanes 0..5 = p_do p_de l_do l_de r_do r_de
+    seeds_ref,  # (n_rows, F3, Wq) per-row seeds (layer-major: 3*fi + gap)
+    io_ref,  # (3, Wq) insertion-open per table
+    ie_ref,  # (3, Wq) insertion-extend per table
+    out_ref,  # (n_rows, F3, Wq)
+    *,
+    n_rows: int,
+    L: int,
+    R: int,
+    climb: bool,
+):
+    """Flank-layered sweep, layers unrolled bottom-up inside the row loop.
+
+    Exact spec: ops/primary_sweep.py PrimarySweep.sweep (context.rs:164-354
+    semantics).  Layer 0 takes primary diag/del/ins with the within-row
+    min-plus chain; every other layer only receives climb edges from the
+    layer below (right-flank table for f <= 0, left-flank for f > 0, the
+    latter gated on `climb`)."""
+    F = L + R + 1
+    Wq = subs_ref.shape[-1]
+
+    def body(r, carry):
+        # carry: tuple of F*3 planes (1, Wq) — previous row, layer-major.
+        blk = r // 8
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, Wq), 0)
+        sel = lane8 == (r % 8)
+
+        def sub_row(t):
+            return jnp.sum(
+                jnp.where(sel, subs_ref[t, pl.ds(blk, 1)][0], 0),
+                axis=0,
+                keepdims=True,
+            )
+
+        subs = [sub_row(t) for t in range(3)]  # (1, Wq) each: p, l, r
+        sel128 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == (r % 8)
+        ddrow = jnp.sum(jnp.where(sel128, dd_ref[pl.ds(blk, 1)][0], 0), axis=0)
+        dd = [(ddrow[2 * t], ddrow[2 * t + 1]) for t in range(3)]
+
+        seeds = seeds_ref[pl.ds(r, 1)][0]  # (F3, Wq)
+
+        def prev_layer(fi):
+            return carry[3 * fi], carry[3 * fi + 1], carry[3 * fi + 2]
+
+        def diag_from(fi, t):
+            pn, pi, pd = prev_layer(fi)
+            any_prev = jnp.minimum(jnp.minimum(pn, pi), pd)
+            return jnp.minimum(
+                _shift_right(any_prev, 1) + _shift_right(subs[t], 1), DEV_INF
+            )
+
+        def del_from(fi, t):
+            pn, pi, pd = prev_layer(fi)
+            d_open, d_ext = dd[t]
+            return jnp.minimum(
+                jnp.minimum(jnp.minimum(pn, pi) + d_open, DEV_INF),
+                jnp.minimum(pd + d_ext, DEV_INF),
+            )
+
+        rows = [None] * F  # finalized (none, ins, del) per layer, this row
+        for f in range(-R, L + 1):
+            fi = f + R
+            if (-R < f < 0) or (f == 0 and R > 0):
+                climb_src, ct = fi - 1, 2  # right-flank table
+            elif f > 0 and climb:
+                climb_src, ct = fi - 1, 1  # left-flank table
+            else:
+                climb_src, ct = None, None
+
+            none_c = seeds[3 * fi + GAP_NONE][None]
+            ins_c = seeds[3 * fi + GAP_INS][None]
+            del_c = seeds[3 * fi + GAP_DEL][None]
+
+            if f == 0:
+                none_c = jnp.minimum(none_c, diag_from(fi, 0))
+                del_c = jnp.minimum(del_c, del_from(fi, 0))
+            if climb_src is not None:
+                none_c = jnp.minimum(none_c, diag_from(climb_src, ct))
+                del_c = jnp.minimum(del_c, del_from(climb_src, ct))
+                # climb insertion: one step from the CURRENT row of the
+                # layer below (finalized by the bottom-up order)
+                sn, si, sd = rows[climb_src]
+                io_t = io_ref[pl.ds(ct, 1)]
+                ie_t = ie_ref[pl.ds(ct, 1)]
+                o = _shift_right(
+                    jnp.minimum(jnp.minimum(sn, sd) + io_t, DEV_INF), 1
+                )
+                e = _shift_right(jnp.minimum(si + ie_t, DEV_INF), 1)
+                ins_c = jnp.minimum(ins_c, jnp.minimum(o, e))
+
+            if f == 0:
+                io_p = io_ref[pl.ds(0, 1)]
+                ie_p = ie_ref[pl.ds(0, 1)]
+                open_src = jnp.minimum(none_c, del_c)
+                open_c = _shift_right(
+                    jnp.minimum(open_src + io_p, DEV_INF), 1
+                )
+                cand = jnp.minimum(ins_c, open_c)
+                ext_into = _shift_right(ie_p, 1)
+                ins_c = _minplus_chain_row(cand, ext_into)
+
+            rows[fi] = (none_c, ins_c, del_c)
+
+        flat = []
+        for fi in range(F):
+            n_, i_, d_ = rows[fi]
+            flat += [n_[0], i_[0], d_[0]]
+        out_ref[pl.ds(r, 1)] = jnp.stack(flat)[None]
+        return tuple(v for tri in rows for v in tri)
+
+    init = tuple(
+        jnp.full((1, Wq), DEV_INF, jnp.int32) for _ in range(3 * F)
+    )
+    jax.lax.fori_loop(0, n_rows, body, init)
+
+
+@partial(jax.jit, static_argnames=("L", "R", "climb", "interpret"))
+def sweep_pallas_flanked(subs, ddrows, seeds, io, ie, *, L, R, climb,
+                         interpret=False):
+    """Flank-layered primary sweep on-chip.
+
+    subs: (3, n_rows, Wq) per-table substitution rows (primary, left,
+    right; row 0 all-INF); ddrows: (n_rows, 6) del open/ext per table;
+    seeds: (n_rows, F*3, Wq) layer-major; io/ie: (3, Wq).
+    Returns M (n_rows, F*3, Wq).
+    """
+    _, n_rows, Wq = subs.shape
+    F = L + R + 1
+    nb = -(-n_rows // 8)
+    padr = nb * 8 - n_rows
+    if padr:
+        subs = jnp.pad(subs, ((0, 0), (0, padr), (0, 0)), constant_values=DEV_INF)
+        ddrows = jnp.pad(ddrows, ((0, padr), (0, 0)), constant_values=DEV_INF)
+    subs_b = subs.reshape(3, nb, 8, Wq)
+    dd_b = jnp.pad(ddrows, ((0, 0), (0, 122)), constant_values=DEV_INF).reshape(
+        nb, 8, 128
+    )
+    out = pl.pallas_call(
+        partial(_flanked_kernel, n_rows=n_rows, L=L, R=R, climb=climb),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((3, nb, 8, Wq), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((nb, 8, 128), lambda i: (0, 0, 0)),
+            pl.BlockSpec((n_rows, 3 * F, Wq), lambda i: (0, 0, 0)),
+            pl.BlockSpec((3, Wq), lambda i: (0, 0)),
+            pl.BlockSpec((3, Wq), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((n_rows, 3 * F, Wq), lambda i: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_rows, 3 * F, Wq), jnp.int32),
+        compiler_params=None if interpret else _VMEM_LIMIT,
+        interpret=interpret,
+    )(subs_b, dd_b, seeds, io, ie)
+    return out

@@ -577,11 +577,18 @@ class JaxAligner:
                 A_delta = A
             else:
                 A_delta = np.where(A < A_launched, A, np.int32(DEV_INF))
+            R_prev = R_acc.copy() if R_acc is not None else None
             R_new = self._reentry(A_delta, kinds, best=best)
             R_acc = R_new if R_acc is None else np.minimum(R_acc, R_new)
             A_launched = A if A_launched is None else np.minimum(A_launched, A)
             R = R_acc
             keepR(R)
+            # Exact no-sweep stop: if this round's launches left the reentry
+            # field unchanged, the seeds are unchanged, so the sweep would
+            # reproduce M and the pruned entry field verbatim — a fixpoint.
+            if R_prev is not None and np.array_equal(R, R_prev):
+                res.cost, res.rounds = best, k + 1
+                return res
             seeds = np.minimum(root, self._as_seeds(R))
             M_next = self._sweep_host(seeds, True)
             keep(M_next)

@@ -17,7 +17,10 @@ data-dependent): this path trades it for batch parallelism.
 
 from __future__ import annotations
 
+import logging
 from typing import List, Optional, Sequence, Tuple
+
+logger = logging.getLogger(__name__)
 
 import jax
 import jax.numpy as jnp
@@ -330,7 +333,9 @@ class BatchedTSAligner:
         if shard is not None:
             seeds = shard(seeds)
 
+        logger.debug("batch phase: initial sweep (B=%d nr=%d nq=%d)", B, self.nr, self.nq)
         M_host = np.asarray(sweep_v(seeds, arrays_b))
+        logger.debug("batch phase: initial sweep done")
         results = [JaxEngineResult(cost=INF, rounds=1) for _ in range(B)]
         if self.keep_fields:
             for i in range(B):
@@ -354,12 +359,15 @@ class BatchedTSAligner:
             if all(done):
                 break
             if self.kind_sets is None:
+                logger.debug("batch phase: build_kind_sets (round %d)", k)
                 self._build_kind_sets(self._derive_budget(best))
             for i in range(B):
                 if A_cur[i] is None:
                     A_cur[i] = self._pruned_entry_pair(i, M_host[i], best[i])
             A_stack = np.stack(A_cur)
+            logger.debug("batch phase: reentry (round %d)", k)
             R_cells = self._reentry_batch(A_stack, shard)
+            logger.debug("batch phase: reentry done (round %d)", k)
             if self.keep_fields:
                 for i in range(B):
                     if not done[i]:
@@ -373,6 +381,7 @@ class BatchedTSAligner:
             sk_dev = jnp.asarray(seeds_k)
             if shard is not None:
                 sk_dev = shard(sk_dev)
+            logger.debug("batch phase: re-sweep (round %d)", k)
             M_next = np.asarray(sweep_v(sk_dev, arrays_b))
             new_best = [
                 min(a, b) for a, b in zip(best, self._targets(M_next))

@@ -415,32 +415,35 @@ class JaxAligner:
                 A_dev, Rk_pad, fixed, e_bases, B_pre, st=km._static, PAD=PAD
             )
             launched.append(("chunked", km, Rk_pad, (PAD, bases), t_kind))
+        if not launched:
+            return R_cells
+        # Device-side fold: the per-kind (n_p+1, width) slabs stay on device
+        # and min into one shared (n_r+1, n_q+1) accumulator; only that
+        # folded field crosses the relay (eight ~MB per-kind transfers per
+        # round previously dominated the reentry wall time).
+        from .ops.jax_modules import _fold_kind_cells
+        R_dev = jnp.full((self.n_r + 1, self.n_q + 1), DEV_INF, jnp.int32)
         for mode, km, dev_out, extra, t_kind in launched:
             spec = km.spec
-            n_anti = spec.n_anti
-            if mode == "compact":
-                e_live = extra
-                Rk = self._fold_compact(km, dev_out, e_live)
-                if logger.isEnabledFor(logging.DEBUG):
-                    logger.debug(
-                        "  kind pk=%d sk=%d dk=%d: compact %d cols %.3fs",
-                        spec.pk, spec.sk, spec.dk, len(e_live),
-                        time.monotonic() - t_kind,
-                    )
-            else:
-                PAD, bases = extra
-                Rk = np.array(dev_out)[:, PAD : PAD + n_anti + 1]
-                if logger.isEnabledFor(logging.DEBUG):
-                    live = sum(1 for b in bases if b >= 0)
-                    logger.debug(
-                        "  kind pk=%d sk=%d dk=%d: %d/%d chunks %.3fs",
-                        spec.pk, spec.sk, spec.dk, live, len(bases),
-                        time.monotonic() - t_kind,
-                    )
-            Rk[:, n_anti] = int(DEV_INF)  # strict reentry bound: j2 < n_anti
-            if spec.pk == 1:
-                Rk = Rk.T
-            np.minimum(R_cells, Rk, out=R_cells)
+            PAD = max(0, -km.s_lo)
+            R_dev = _fold_kind_cells(
+                R_dev,
+                dev_out,
+                PAD=PAD,
+                n_anti=spec.n_anti,
+                transpose=spec.pk == 1,
+            )
+            if logger.isEnabledFor(logging.DEBUG):
+                desc = (
+                    f"compact {len(extra)} cols"
+                    if mode == "compact"
+                    else f"{sum(1 for b in extra[1] if b >= 0)}/{len(extra[1])} chunks"
+                )
+                logger.debug(
+                    "  kind pk=%d sk=%d dk=%d: %s enqueued %.3fs",
+                    spec.pk, spec.sk, spec.dk, desc, time.monotonic() - t_kind,
+                )
+        np.minimum(R_cells, np.asarray(R_dev), out=R_cells)
         return R_cells
 
     def _launch_compact(self, km, A_mod, e_live, Kb, B_pre):

@@ -734,3 +734,23 @@ def _kind_chunk_step(Rk_pad, *, A_mod, fixed, e_base, B_pre, st, PAD):
     return jax.lax.dynamic_update_slice(
         Rk_pad, jnp.minimum(cur, R_pad), (0, start)
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("PAD", "n_anti", "transpose"),
+    donate_argnums=(0,),
+)
+def _fold_kind_cells(R_dev, Rk_pad, *, PAD, n_anti, transpose):
+    """Min-fold one kind's padded reentry slab into the shared (ref, query)
+    reentry-cell accumulator ON DEVICE: slice the real j2 range, apply the
+    strict-reentry bound (j2 < n_anti), transpose pk==1 kinds, min.  Keeps
+    the per-kind (n_p+1, width) slabs on device so only the final folded
+    field crosses the relay (the eight ~MB per-kind transfers per round
+    dominated the reentry wall time)."""
+    Rk = Rk_pad[:, PAD : PAD + n_anti + 1]
+    inf_col = jnp.full((Rk.shape[0], 1), DEV_INF, Rk.dtype)
+    Rk = jnp.concatenate([Rk[:, :n_anti], inf_col], axis=1)
+    if transpose:
+        Rk = Rk.T
+    return jnp.minimum(R_dev, Rk)

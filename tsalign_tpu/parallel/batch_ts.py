@@ -268,13 +268,23 @@ class BatchedTSAligner:
             )
             Rk_pad = step(A_dev, Rk_pad0, fixed_b, B_pre)
             launched.append((spec, PAD, Rk_pad))
+        if not launched:
+            return R_cells
+        # Device-side fold (see jax_engine._reentry): one transfer of the
+        # folded (B, nr+1, nq+1) field instead of one per kind.
+        from ..ops.jax_modules import _fold_kind_cells
+
+        R_dev = jnp.full((B, self.nr + 1, self.nq + 1), DEV_INF, jnp.int32)
+        if shard is not None:
+            R_dev = shard(R_dev)
         for spec, PAD, Rk_pad in launched:
-            n_anti = spec.n_anti
-            Rk = np.array(Rk_pad)[:, :, PAD : PAD + n_anti + 1]
-            Rk[:, :, n_anti] = int(DEV_INF)  # strict reentry: j2 < n_anti
-            if spec.pk == 1:
-                Rk = Rk.transpose(0, 2, 1)
-            np.minimum(R_cells, Rk, out=R_cells)
+            fold = jax.vmap(
+                lambda r, rk: _fold_kind_cells(
+                    r, rk, PAD=PAD, n_anti=spec.n_anti, transpose=spec.pk == 1
+                )
+            )
+            R_dev = fold(R_dev, Rk_pad)
+        np.minimum(R_cells, np.asarray(R_dev), out=R_cells)
         return R_cells
 
     def align(self, mesh=None) -> List[JaxEngineResult]:

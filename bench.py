@@ -80,7 +80,15 @@ THROUGHPUT_PAIRS = [
 def _measure_throughput(q):
     """Batched corpus throughput: a bucket of twin pairs through the full
     batched record pipeline (BatchedTSAligner rounds on device + traceback
-    + TOML-ready records), BASELINE.md's pairs/sec + cells/sec metrics."""
+    + TOML-ready records), BASELINE.md's pairs/sec + cells/sec metrics.
+
+    Runs with the XLA module path: the vmapped Pallas module kernel at this
+    bucket shape deterministically crashes the TPU worker on this relay
+    (scripts/repro_batch_crash.py), and a crash here would wedge the chip
+    for the rest of the bench."""
+    import os
+
+    os.environ.setdefault("TSALIGN_NO_PALLAS", "1")
     import numpy as np
 
     from tsalign_tpu.alphabet import get_alphabet

@@ -44,6 +44,15 @@ from .ops.jaxcommon import (
 )
 from .ops.primary_sweep import GAP_NONE
 from .ops.tsm_modules import make_kind_spec
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("rl", "ql"))
+def _summ_jit(M_dev, *, rl, ql):
+    """Round-loop sweep summary: entry layer + target-cell values (the only
+    pieces the cost-only loop consumes; keeps the full field off the relay)."""
+    return jnp.min(M_dev[-1], axis=0), M_dev[:, :, rl, ql].reshape(-1)
 from .engine import min_tsm_cost_bound
 
 
@@ -189,6 +198,11 @@ class JaxAligner:
         )
 
     def _pruned_entry(self, M_host: np.ndarray, best: int) -> np.ndarray:
+        return self._pruned_entry_cells(
+            M_host[-1].min(axis=0).astype(np.int32), best
+        )
+
+    def _pruned_entry_cells(self, entry_cells: np.ndarray, best: int) -> np.ndarray:
         """Entry field with every cell that cannot start a TSM on an optimal
         or co-optimal path masked to DEV_INF.  This is exactly the field
         `_reentry` consumes, so reentry/seed/sweep outputs are a fixpoint as
@@ -202,7 +216,7 @@ class JaxAligner:
         rewind case exactly: S is the one-TSM start-here-and-finish bound of
         the full-grid relaxed fixpoint, so S == INF proves no TSM started
         here can ever reach the target."""
-        A_cells = M_host[-1].min(axis=0).astype(np.int32).copy()
+        A_cells = entry_cells.astype(np.int32).copy()
         ref_rewind, qry_rewind = self._axes_can_rewind()
         if not ref_rewind:
             A_cells[self.range.reference_limit + 1 :, :] = int(DEV_INF)
@@ -224,13 +238,16 @@ class JaxAligner:
         )
 
     def _can_improve(self, M_host: np.ndarray, best: int) -> bool:
+        return self._can_improve_cells(M_host[-1].min(axis=0), best)
+
+    def _can_improve_cells(self, entry_cells: np.ndarray, best: int) -> bool:
         """TSLB improvement test (see engine.DenseAligner._can_improve):
         False once no entry cell can start a further TSM and still strictly
         beat the incumbent."""
         lb = self._remaining_bound()
         if lb is None or best >= INF:
             return True
-        A64 = M_host[-1].min(axis=0).astype(np.int64)
+        A64 = entry_cells.astype(np.int64)
         mask = (A64 < int(DEV_INF) // 2) & (lb.S < INF)
         return bool(np.any(mask & (A64 + lb.S < best)))
 
@@ -501,13 +518,35 @@ class JaxAligner:
         )
         return np.asarray(M)
 
+    def _sweep_summary(self, seeds_host: np.ndarray, climb: bool):
+        """Run the device sweep and transfer only what the round loop needs:
+        the entry layer (min over gap types of the top flank layer) and the
+        target-cell values.  The full (F, 3, n, n) field crosses the relay
+        only when keep_fields (traceback) requires it.
+
+        Returns (entry_cells int32 (n_r+1, n_q+1), target_cost host int,
+        M_host or None)."""
+        M_dev = self._get_sweep(climb).sweep(jnp.asarray(seeds_host))
+        F = self.config.left_flank_length + self.config.right_flank_length + 1
+        self.cells_swept = getattr(self, "cells_swept", 0) + F * 3 * (
+            (self.n_r + 1) * (self.n_q + 1)
+        )
+        E, tv = _summ_jit(
+            M_dev,
+            rl=self.range.reference_limit,
+            ql=self.range.query_limit,
+        )
+        M_host = np.asarray(M_dev) if self.keep_fields else None
+        t = int(np.asarray(tv).min())
+        return np.asarray(E), (INF if t >= int(DEV_INF) // 2 else t), M_host
+
     def align(self) -> JaxEngineResult:
         root = np.asarray(to_device_costs(self._root_seeds_host()))
         t = self.max_ts
         res = JaxEngineResult(cost=INF, rounds=0)
 
         def keep(M_host):
-            if self.keep_fields:
+            if self.keep_fields and M_host is not None:
                 res.primary_fields.append(from_device_costs(M_host))
 
         def keepR(R_host):
@@ -515,9 +554,8 @@ class JaxAligner:
                 res.reentry_fields.append(from_device_costs(R_host))
 
         if t is not None:
-            M = self._sweep_host(root, 0 < t)
-            keep(M)
-            best = self._target_cost(M)
+            E, best, M_host = self._sweep_summary(root, 0 < t)
+            keep(M_host)
             if t == 0:
                 res.cost, res.rounds = best, 1
                 return res
@@ -525,19 +563,20 @@ class JaxAligner:
             self._last_budget = budget
             kinds = self._build_kinds(budget)
             for c in range(1, t + 1):
-                R = self._reentry(self._pruned_entry(M, best), kinds, best=best)
+                R = self._reentry(
+                    self._pruned_entry_cells(E, best), kinds, best=best
+                )
                 keepR(R)
                 seeds = np.minimum(root, self._as_seeds(R))
-                M = self._sweep_host(seeds, c < t)
-                keep(M)
-                best = min(best, self._target_cost(M))
+                E, t_cost, M_host = self._sweep_summary(seeds, c < t)
+                keep(M_host)
+                best = min(best, t_cost)
             res.cost, res.rounds = best, t + 1
             return res
 
         t0 = time.monotonic()
-        M = self._sweep_host(root, True)
-        keep(M)
-        best = self._target_cost(M)
+        E, best, M_host = self._sweep_summary(root, True)
+        keep(M_host)
         logger.debug("round 0 (no-TS sweep): cost=%s %.3fs", best, time.monotonic() - t0)
         delta = min_tsm_cost_bound(self.config)
         kinds = None
@@ -562,7 +601,7 @@ class JaxAligner:
                 return res
             # TSLB improvement stop: no entry cell can start a further TSM
             # and still strictly beat the incumbent.
-            if not self._can_improve(M, best):
+            if not self._can_improve_cells(E, best):
                 res.cost, res.rounds = best, k
                 return res
             if kinds is None:
@@ -574,7 +613,7 @@ class JaxAligner:
                     "budget+build_kinds: %.3fs", time.monotonic() - t0
                 )
             if A is None:
-                A = self._pruned_entry(M, best)
+                A = self._pruned_entry_cells(E, best)
             t0 = time.monotonic()
             if A_launched is None:
                 A_delta = A
@@ -593,23 +632,23 @@ class JaxAligner:
                 res.cost, res.rounds = best, k + 1
                 return res
             seeds = np.minimum(root, self._as_seeds(R))
-            M_next = self._sweep_host(seeds, True)
-            keep(M_next)
-            new_best = min(best, self._target_cost(M_next))
+            E_next, t_cost, M_host = self._sweep_summary(seeds, True)
+            keep(M_host)
+            new_best = min(best, t_cost)
             logger.debug("round %d: cost=%s %.3fs", k, new_best, time.monotonic() - t0)
             # TSLB stop: the next reentry depends only on the pruned entry
             # field (cells that could start a TSM on an optimal or
             # co-optimal path).  Once that field is stable, reentries,
             # seeds and sweeps all repeat — a true fixpoint of the
             # target-equivalent pruned system.
-            A_next = self._pruned_entry(M_next, new_best)
+            A_next = self._pruned_entry_cells(E_next, new_best)
             if new_best < best:
-                A = self._pruned_entry(M, new_best)
+                A = self._pruned_entry_cells(E, new_best)
             best = new_best
             if np.array_equal(A_next, A):
                 res.cost, res.rounds = best, k + 1
                 return res
-            M = M_next
+            E = E_next
             A = A_next
         res.cost, res.rounds = best, self.max_rounds + 1
         return res

@@ -217,8 +217,18 @@ class DenseAligner:
                 return results
             if A is None:
                 A = self._pruned_entry(M, best)
+            R_prev = (
+                results.reentry_fields[-1] if results.reentry_fields else None
+            )
             R = self._reentry(A, budget, best=best)
             results.reentry_fields.append(R)
+            # Exact no-sweep stop (mirrors jax_engine): an unchanged reentry
+            # field means unchanged seeds, so the sweep would reproduce M
+            # and the pruned entry field verbatim — a fixpoint.
+            if R_prev is not None and np.array_equal(R, R_prev):
+                results.cost = best
+                results.rounds = k + 1
+                return results
             seeds = np.minimum(root, _as_seeds(R, F))
             M_next = self._sweep(seeds, climb=True)
             results.primary_fields.append(M_next)

@@ -468,3 +468,36 @@ def test_chain_align_multi_kb_planted():
 
     n_ts = sum(1 for _, t in res.alignment.entries if is_template_switch_entrance(t))
     assert n_ts == len(ts_sites), n_ts
+
+
+def test_chain_align_flanked_config_matches_full_engine():
+    """Chained mode with nonzero flanks: the reference's chainalign cost
+    conversion cannot represent flanked configs (costs/compat.rs is a
+    strict conversion); our segments run the full config, so chained
+    results must equal the full engine's under the K-scaled tie-break."""
+    from util import binding_window_config
+
+    from tsalign_tpu.chain.driver import chain_align
+
+    al = get_alphabet("dna")
+    comp = al.complement_array()
+    rng = np.random.default_rng(42)
+    cfg = binding_window_config(rng, al, 2, 1)
+    n = 300
+    ref = rng.integers(0, 4, size=n).astype(np.int8)
+    qry = ref.copy()
+    qry[100:108] = [comp[c] for c in qry[100:108]][::-1]
+    qry[30] = (qry[30] + 1) % 4
+    qry[250] = (qry[250] + 1) % 4
+
+    res = chain_align(
+        cfg, ref, qry, engine="numpy", target_segment=96,
+        verify=True, progress=False,
+    )
+    K = 1
+    while K < 2 * n + 2:
+        K *= 2
+    comp_full = DenseAligner(
+        cfg.scaled_for_length_tiebreak(K), ref, qry
+    ).align().cost
+    assert res.cost == -(-comp_full // K)

@@ -176,3 +176,43 @@ def test_sp_reentry_matches_unsharded():
 
     got = sp_reentry(ja, A, kinds, mesh)
     np.testing.assert_array_equal(got, expect)
+
+
+def test_sp_sweep_flanked_matches_single_device():
+    """Flank-layered sequence-parallel sweep == numpy spec on random
+    flanked configs with random extra seeds."""
+    from tsalign_tpu.ops.jaxcommon import from_device_costs, to_device_costs
+    from tsalign_tpu.ops.jax_primary import JaxPrimarySweep
+    from tsalign_tpu.ops.primary_sweep import PrimarySweep
+    from tsalign_tpu.parallel.sp_sweep import sp_sweep_flanked
+    from util import random_pair
+
+    import jax
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = Mesh(np.array(devs), ("sp",))
+
+    INF = 2**62
+    rng = np.random.default_rng(321)
+    al = get_alphabet("dna")
+    for trial in range(2):
+        cfg = random_config(rng, al, flanks=True)
+        cfg.left_flank_length = int(rng.integers(1, 3))
+        cfg.right_flank_length = int(rng.integers(0, 3))
+        F = cfg.left_flank_length + cfg.right_flank_length + 1
+        ref, qry = random_pair(rng, al, max_len=14, min_len=5)
+        sw = PrimarySweep(cfg, ref, qry)
+        jw = JaxPrimarySweep(cfg, ref, qry)
+        seeds = np.full((F, 3, len(ref) + 1, len(qry) + 1), INF, np.int64)
+        seeds[F - 1, 0, 0, 0] = 0
+        for _ in range(4):
+            f = int(rng.integers(0, F))
+            g = int(rng.integers(0, 3))
+            i = int(rng.integers(0, len(ref) + 1))
+            j = int(rng.integers(0, len(qry) + 1))
+            seeds[f, g, i, j] = int(rng.integers(0, 9))
+        expect = sw.sweep(seeds)
+        got = sp_sweep_flanked(jw, to_device_costs(seeds), mesh)
+        np.testing.assert_array_equal(from_device_costs(got), expect)

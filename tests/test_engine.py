@@ -136,7 +136,7 @@ def test_engines_match_oracle_midscale(n, flank_l, flank_r):
 
     rng = np.random.default_rng(1000 + n)
     al = get_alphabet("dna")
-    for trial in range(2 if n <= 40 else 1):
+    for trial in range(1):
         cfg = binding_window_config(rng, al, flank_l, flank_r)
         ref, qry = related_pair_scaled(rng, al, n, ts_len=8)
         oc = oracle_cost(cfg, ref, qry)

@@ -53,7 +53,7 @@ def test_twin_100_family_jax_equality():
     family (shared 128-bucket keeps CPU-jit compiles amortized)."""
     from tsalign_tpu.jax_engine import JaxAligner
 
-    for name in ("twin_100_0.01", "twin_100_0.02", "twin_100_eq"):
+    for name in ("twin_100_0.01", "twin_100_eq"):
         cfg, ref, qry = _load(name)
         jc = JaxAligner(cfg, ref, qry, chunk=32, keep_fields=False).align().cost
         assert jc == EXPECT[name], name

@@ -53,6 +53,22 @@ def _summ_jit(M_dev, *, rl, ql):
     """Round-loop sweep summary: entry layer + target-cell values (the only
     pieces the cost-only loop consumes; keeps the full field off the relay)."""
     return jnp.min(M_dev[-1], axis=0), M_dev[:, :, rl, ql].reshape(-1)
+
+
+@jax.jit
+def _acc_jit(R_acc, R_new):
+    """Fold a round's reentry contributions into the device accumulator and
+    report whether anything improved (the exact no-sweep stop signal)."""
+    R2 = jnp.minimum(R_acc, R_new)
+    return R2, jnp.all(R2 == R_acc)
+
+
+@jax.jit
+def _seeds_jit(root_dev, R_dev):
+    """Next-round sweep seeds on device: the root seeds min the reentry
+    field placed at (flank 0, GAP_NONE) — keeps the (F, 3, n, n) seed field
+    off the relay."""
+    return root_dev.at[0, GAP_NONE].min(R_dev)
 from .engine import min_tsm_cost_bound
 
 
@@ -313,8 +329,10 @@ class JaxAligner:
         return kinds
 
     def _reentry(self, A_cells: np.ndarray, kinds: List[JaxKindModule], best: int = INF):
-        """Pruned entry field (host, from `_pruned_entry`) + all kind
-        pipelines -> reentry cells.
+        """Pruned entry field (host, from `_pruned_entry_cells`) + all
+        kind pipelines -> the folded reentry-cell field, returned as a
+        DEVICE array (the caller accumulates, builds seeds and re-sweeps on
+        device; nothing reentry-sized crosses the relay).
 
         Each kind runs as one jitted chunk-step with a *traced* chunk offset,
         so all chunks share a single compilation.  All glue (entry-field
@@ -332,7 +350,6 @@ class JaxAligner:
             AS = np.where(
                 (A64 < int(DEV_INF) // 2) & (lb.S < INF), A64 + lb.S, INF
             )
-        R_cells = np.full((self.n_r + 1, self.n_q + 1), int(DEV_INF), np.int32)
         # Work accounting (surfaced as opened_nodes: DP cells computed).
         self.cells_swept = getattr(self, "cells_swept", 0) + len(kinds) * (
             (self.n_r + 1) * (self.n_q + 1)
@@ -432,12 +449,10 @@ class JaxAligner:
                 A_dev, Rk_pad, fixed, e_bases, B_pre, st=km._static, PAD=PAD
             )
             launched.append(("chunked", km, Rk_pad, (PAD, bases), t_kind))
-        if not launched:
-            return R_cells
         # Device-side fold: the per-kind (n_p+1, width) slabs stay on device
-        # and min into one shared (n_r+1, n_q+1) accumulator; only that
-        # folded field crosses the relay (eight ~MB per-kind transfers per
-        # round previously dominated the reentry wall time).
+        # and min into one shared (n_r+1, n_q+1) accumulator that STAYS on
+        # device — the caller accumulates, builds seeds and re-sweeps there,
+        # so no reentry/seed field crosses the relay at all.
         from .ops.jax_modules import _fold_kind_cells
         R_dev = jnp.full((self.n_r + 1, self.n_q + 1), DEV_INF, jnp.int32)
         for mode, km, dev_out, extra, t_kind in launched:
@@ -460,8 +475,7 @@ class JaxAligner:
                     "  kind pk=%d sk=%d dk=%d: %s enqueued %.3fs",
                     spec.pk, spec.sk, spec.dk, desc, time.monotonic() - t_kind,
                 )
-        np.minimum(R_cells, np.asarray(R_dev), out=R_cells)
-        return R_cells
+        return R_dev
 
     def _launch_compact(self, km, A_mod, e_live, Kb, B_pre):
         """Enqueue the compacted-column pipeline for one kind: gather the
@@ -499,15 +513,6 @@ class JaxAligner:
         spec = km.spec
         PAD = max(0, -km.s_lo)
         return np.array(dev_out)[:, PAD : PAD + spec.n_anti + 1]
-
-    def _as_seeds(self, R_cells: np.ndarray) -> np.ndarray:
-        cfg = self.config
-        F = cfg.left_flank_length + cfg.right_flank_length + 1
-        seeds = np.full(
-            (F, 3, self.n_r + 1, self.n_q + 1), int(DEV_INF), np.int32
-        )
-        seeds[0, GAP_NONE] = R_cells
-        return seeds
 
     def _sweep_host(self, seeds_host: np.ndarray, climb: bool) -> np.ndarray:
         """Run the device sweep from host seeds, returning the host field."""
@@ -550,11 +555,13 @@ class JaxAligner:
                 res.primary_fields.append(from_device_costs(M_host))
 
         def keepR(R_host):
-            if self.keep_fields:
+            if self.keep_fields and R_host is not None:
                 res.reentry_fields.append(from_device_costs(R_host))
 
+        root_dev = jnp.asarray(root)
+
         if t is not None:
-            E, best, M_host = self._sweep_summary(root, 0 < t)
+            E, best, M_host = self._sweep_summary(root_dev, 0 < t)
             keep(M_host)
             if t == 0:
                 res.cost, res.rounds = best, 1
@@ -563,19 +570,20 @@ class JaxAligner:
             self._last_budget = budget
             kinds = self._build_kinds(budget)
             for c in range(1, t + 1):
-                R = self._reentry(
+                R_dev = self._reentry(
                     self._pruned_entry_cells(E, best), kinds, best=best
                 )
-                keepR(R)
-                seeds = np.minimum(root, self._as_seeds(R))
-                E, t_cost, M_host = self._sweep_summary(seeds, c < t)
+                keepR(np.asarray(R_dev) if self.keep_fields else None)
+                E, t_cost, M_host = self._sweep_summary(
+                    _seeds_jit(root_dev, R_dev), c < t
+                )
                 keep(M_host)
                 best = min(best, t_cost)
             res.cost, res.rounds = best, t + 1
             return res
 
         t0 = time.monotonic()
-        E, best, M_host = self._sweep_summary(root, True)
+        E, best, M_host = self._sweep_summary(root_dev, True)
         keep(M_host)
         logger.debug("round 0 (no-TS sweep): cost=%s %.3fs", best, time.monotonic() - t0)
         delta = min_tsm_cost_bound(self.config)
@@ -619,20 +627,23 @@ class JaxAligner:
                 A_delta = A
             else:
                 A_delta = np.where(A < A_launched, A, np.int32(DEV_INF))
-            R_prev = R_acc.copy() if R_acc is not None else None
             R_new = self._reentry(A_delta, kinds, best=best)
-            R_acc = R_new if R_acc is None else np.minimum(R_acc, R_new)
+            if R_acc is None:
+                R_acc, unchanged = R_new, False
+            else:
+                R_acc, eq = _acc_jit(R_acc, R_new)
+                unchanged = bool(eq)
             A_launched = A if A_launched is None else np.minimum(A_launched, A)
-            R = R_acc
-            keepR(R)
+            keepR(np.asarray(R_acc) if self.keep_fields else None)
             # Exact no-sweep stop: if this round's launches left the reentry
             # field unchanged, the seeds are unchanged, so the sweep would
             # reproduce M and the pruned entry field verbatim — a fixpoint.
-            if R_prev is not None and np.array_equal(R, R_prev):
+            if unchanged:
                 res.cost, res.rounds = best, k + 1
                 return res
-            seeds = np.minimum(root, self._as_seeds(R))
-            E_next, t_cost, M_host = self._sweep_summary(seeds, True)
+            E_next, t_cost, M_host = self._sweep_summary(
+                _seeds_jit(root_dev, R_acc), True
+            )
             keep(M_host)
             new_best = min(best, t_cost)
             logger.debug("round %d: cost=%s %.3fs", k, new_best, time.monotonic() - t0)

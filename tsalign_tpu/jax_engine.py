@@ -74,8 +74,10 @@ from .engine import min_tsm_cost_bound
 
 logger = logging.getLogger("tsalign_tpu")
 
-# Content-keyed memo for the remaining-cost bound (see _remaining_bound).
+# Content-keyed memos for the remaining-cost bound and the kind modules
+# (see _remaining_bound / _build_kinds).
 _LB_MEMO: dict = {}
+_KINDS_MEMO: dict = {}
 
 
 @dataclass
@@ -321,6 +323,32 @@ class JaxAligner:
         return b
 
     def _build_kinds(self, budget: Optional[int]) -> List[JaxKindModule]:
+        """Per-kind device pipelines.  Memoized by content key across
+        engine instances (same reasoning as _remaining_bound): the modules
+        — host tables, device-resident _fixed tensors, entry-independent
+        same-seq fields — are pure functions of (config, pair, bounds,
+        budget, chunk), and rebuilding them dominates warm-run setup."""
+        from .chain.plan import config_digest
+
+        key = (
+            config_digest(self.config),
+            self.ref.tobytes(),
+            self.qry.tobytes(),
+            self.allowed_primaries,
+            self.anti_bounds_ref,
+            self.anti_bounds_qry,
+            self.chunk,
+            self.allow_sdel,
+            budget,
+        )
+        if key in _KINDS_MEMO:
+            return _KINDS_MEMO[key]
+        kinds = self._build_kinds_uncached(budget)
+        _KINDS_MEMO.clear()  # keep at most one entry (device tensors are ~MBs)
+        _KINDS_MEMO[key] = kinds
+        return kinds
+
+    def _build_kinds_uncached(self, budget: Optional[int]) -> List[JaxKindModule]:
         kinds = []
         lut_cache = {}  # (sk, dk, window) LUTs shared across the pk variants
         for pk in self.allowed_primaries:

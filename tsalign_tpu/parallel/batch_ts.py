@@ -43,6 +43,28 @@ from ..ops.primary_sweep import GAP_NONE
 from ..ops.tsm_modules import make_kind_spec
 
 
+@jax.jit
+def _summ_batch_jit(M_b, lr, lq):
+    """Per-pair sweep summary (entry layer + target-cell values at each
+    pair's real lengths) computed on device — the full stacked fields stay
+    off the relay unless keep_fields needs them."""
+
+    def one(M_i, lr_i, lq_i):
+        E = jnp.min(M_i[-1], axis=0)
+        tv = jax.lax.dynamic_slice(
+            M_i, (0, 0, lr_i, lq_i), (M_i.shape[0], M_i.shape[1], 1, 1)
+        ).reshape(-1)
+        return E, tv
+
+    return jax.vmap(one)(M_b, lr, lq)
+
+
+@jax.jit
+def _seeds_batch_jit(root_dev, R_dev):
+    """Next-round batched seeds on device (see jax_engine._seeds_jit)."""
+    return root_dev.at[:, 0, GAP_NONE].min(R_dev)
+
+
 def _bucket(n: int) -> int:
     b = 64
     while b < n:
@@ -136,15 +158,12 @@ class BatchedTSAligner:
             ]
         return self._lb_cache
 
-    def _entry64(self, M_i: np.ndarray) -> np.ndarray:
-        return M_i[-1].min(axis=0).astype(np.int64)
-
-    def _pruned_entry_pair(self, i: int, M_i: np.ndarray, best: int) -> np.ndarray:
-        """Per-pair pruned entry field in device int32 (see
-        jax_engine.JaxAligner._pruned_entry; padded cells beyond the pair's
-        real lengths are unreachable through poison moves, so no extra
-        slice masking is needed)."""
-        A_cells = M_i[-1].min(axis=0).astype(np.int32)
+    def _pruned_entry_pair(self, i: int, E_i: np.ndarray, best: int) -> np.ndarray:
+        """Per-pair pruned entry field in device int32 from the entry layer
+        (see jax_engine.JaxAligner._pruned_entry_cells; padded cells beyond
+        the pair's real lengths are unreachable through poison moves, so no
+        extra slice masking is needed)."""
+        A_cells = E_i.astype(np.int32)
         lb = self._bounds()[i]
         if lb is not None:
             A64 = A_cells.astype(np.int64)
@@ -160,11 +179,11 @@ class BatchedTSAligner:
             A_cells.astype(np.int64) > thresh, np.int32(DEV_INF), A_cells
         )
 
-    def _can_improve_pair(self, i: int, M_i: np.ndarray, best: int) -> bool:
+    def _can_improve_pair(self, i: int, E_i: np.ndarray, best: int) -> bool:
         lb = self._bounds()[i]
         if lb is None or best >= INF:
             return True
-        A64 = self._entry64(M_i)
+        A64 = E_i.astype(np.int64)
         mask = (A64 < int(DEV_INF) // 2) & (lb.S < INF)
         return bool(np.any(mask & (A64 + lb.S < best)))
 
@@ -248,7 +267,6 @@ class BatchedTSAligner:
         """Batched all-kinds reentry cells from the stacked (pruned) entry
         fields."""
         B = self.n_pairs
-        R_cells = np.full((B, self.nr + 1, self.nq + 1), int(DEV_INF), np.int32)
         launched = []
         for km0, fixed_b, B_pre, e_bases in self._kind_state:
             spec = km0.spec
@@ -269,7 +287,8 @@ class BatchedTSAligner:
             Rk_pad = step(A_dev, Rk_pad0, fixed_b, B_pre)
             launched.append((spec, PAD, Rk_pad))
         if not launched:
-            return R_cells
+            R0 = jnp.full((B, self.nr + 1, self.nq + 1), DEV_INF, jnp.int32)
+            return shard(R0) if shard is not None else R0
         # Device-side fold (see jax_engine._reentry): one transfer of the
         # folded (B, nr+1, nq+1) field instead of one per kind.
         from ..ops.jax_modules import _fold_kind_cells
@@ -284,8 +303,7 @@ class BatchedTSAligner:
                 )
             )
             R_dev = fold(R_dev, Rk_pad)
-        np.minimum(R_cells, np.asarray(R_dev), out=R_cells)
-        return R_cells
+        return R_dev
 
     def align(self, mesh=None) -> List[JaxEngineResult]:
         """Per-pair engine results (exact optimum each), batch-lockstep.
@@ -343,15 +361,30 @@ class BatchedTSAligner:
         if shard is not None:
             seeds = shard(seeds)
 
+        lr_idx = jnp.asarray([r for r, _ in self.real], jnp.int32)
+        lq_idx = jnp.asarray([q for _, q in self.real], jnp.int32)
+
+        def summarize(M_dev):
+            """(entry layers (B, nr+1, nq+1) host, per-pair target costs)."""
+            E_b, tv_b = _summ_batch_jit(M_dev, lr_idx, lq_idx)
+            tv = np.asarray(tv_b)
+            costs = [
+                INF if int(t.min()) >= int(DEV_INF) // 2 else int(t.min())
+                for t in tv
+            ]
+            return np.asarray(E_b), costs
+
         logger.debug("batch phase: initial sweep (B=%d nr=%d nq=%d)", B, self.nr, self.nq)
-        M_host = np.asarray(sweep_v(seeds, arrays_b))
+        M_dev = sweep_v(seeds, arrays_b)
+        E_host, best = summarize(M_dev)
         logger.debug("batch phase: initial sweep done")
         results = [JaxEngineResult(cost=INF, rounds=1) for _ in range(B)]
         if self.keep_fields:
+            M_host = np.asarray(M_dev)
             for i in range(B):
                 results[i].primary_fields.append(from_device_costs(M_host[i]))
-        best = self._targets(M_host)
         delta = min_tsm_cost_bound(self.config)
+        root_dev = seeds
 
         done = [False] * B
         A_cur: List[Optional[np.ndarray]] = [None] * B
@@ -364,7 +397,7 @@ class BatchedTSAligner:
                 if delta > 0 and k * delta > best[i]:
                     done[i], results[i].rounds = True, k
                 # TSLB improvement stop.
-                elif not self._can_improve_pair(i, M_host[i], best[i]):
+                elif not self._can_improve_pair(i, E_host[i], best[i]):
                     done[i], results[i].rounds = True, k
             if all(done):
                 break
@@ -373,51 +406,46 @@ class BatchedTSAligner:
                 self._build_kind_sets(self._derive_budget(best))
             for i in range(B):
                 if A_cur[i] is None:
-                    A_cur[i] = self._pruned_entry_pair(i, M_host[i], best[i])
+                    A_cur[i] = self._pruned_entry_pair(i, E_host[i], best[i])
             A_stack = np.stack(A_cur)
             logger.debug("batch phase: reentry (round %d)", k)
-            R_cells = self._reentry_batch(A_stack, shard)
+            R_dev = self._reentry_batch(A_stack, shard)
             logger.debug("batch phase: reentry done (round %d)", k)
             if self.keep_fields:
+                R_host = np.asarray(R_dev)
                 for i in range(B):
                     if not done[i]:
                         results[i].reentry_fields.append(
-                            from_device_costs(R_cells[i])
+                            from_device_costs(R_host[i])
                         )
-            seeds_k = seeds0_dev.copy()
-            seeds_k[:, 0, GAP_NONE] = np.minimum(
-                seeds_k[:, 0, GAP_NONE], R_cells
-            )
-            sk_dev = jnp.asarray(seeds_k)
-            if shard is not None:
-                sk_dev = shard(sk_dev)
+            sk_dev = _seeds_batch_jit(root_dev, R_dev)
             logger.debug("batch phase: re-sweep (round %d)", k)
-            M_next = np.asarray(sweep_v(sk_dev, arrays_b))
-            new_best = [
-                min(a, b) for a, b in zip(best, self._targets(M_next))
-            ]
+            M_next_dev = sweep_v(sk_dev, arrays_b)
+            E_next, t_costs = summarize(M_next_dev)
+            new_best = [min(a, b) for a, b in zip(best, t_costs)]
             if self.keep_fields:
+                M_next_host = np.asarray(M_next_dev)
                 for i in range(B):
                     if not done[i]:
                         results[i].primary_fields.append(
-                            from_device_costs(M_next[i])
+                            from_device_costs(M_next_host[i])
                         )
             # Pruned-entry fixpoint per pair (jax_engine semantics): once
             # the pruned field is stable, reentries/seeds/sweeps repeat.
             for i in range(B):
                 if done[i]:
                     continue
-                A_next_i = self._pruned_entry_pair(i, M_next[i], new_best[i])
+                A_next_i = self._pruned_entry_pair(i, E_next[i], new_best[i])
                 A_i = A_cur[i]
                 if new_best[i] < best[i]:
-                    A_i = self._pruned_entry_pair(i, M_host[i], new_best[i])
+                    A_i = self._pruned_entry_pair(i, E_host[i], new_best[i])
                 if np.array_equal(A_next_i, A_i):
                     done[i], results[i].rounds = True, k + 1
                     A_cur[i] = A_next_i
                 else:
                     A_cur[i] = A_next_i
             best = new_best
-            M_host = M_next
+            E_host = E_next
         else:
             raise RuntimeError(
                 f"BatchedTSAligner: not all pairs converged within "
@@ -464,14 +492,6 @@ class BatchedTSAligner:
                 )
             )
         return out
-
-    def _targets(self, M_host: np.ndarray) -> List[int]:
-        out = []
-        for i, (lr, lq) in enumerate(self.real):
-            v = int(M_host[i, :, :, lr, lq].min())
-            out.append(INF if v >= int(DEV_INF) // 2 else v)
-        return out
-
 
 def align_pairs(
     config: TemplateSwitchConfig,

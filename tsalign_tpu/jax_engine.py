@@ -18,7 +18,30 @@ import os
 
 # Persistent compilation cache: the big scan kernels are expensive to
 # compile (notably via remote-compile TPU setups); cache across processes.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tsalign_tpu_jax_cache")
+# The directory is fingerprinted by the host CPU's feature flags: XLA:CPU
+# AOT artifacts embed the compile machine's ISA features and loading them
+# on a host without those features SIGILL/segfaults ("Machine type used
+# for XLA:CPU compilation doesn't match the machine type for execution"),
+# which we hit when the environment migrates across heterogeneous hosts.
+
+
+def _cache_dir() -> str:
+    import hashlib
+
+    try:
+        flags = ""
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = line
+                    break
+    except OSError:
+        flags = ""
+    h = hashlib.sha1(flags.encode()).hexdigest()[:10]
+    return f"/tmp/tsalign_tpu_jax_cache_{h}"
+
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir())
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import logging

@@ -455,6 +455,14 @@ class JaxAligner:
                 B_pre = km._b_pre_cache
             else:
                 B_pre = jnp.zeros((1, 1), jnp.int32)
+            def get_a_dev():
+                a_key = (spec.pk, A_mod.shape[1])
+                dev = a_dev_cache.get(a_key)
+                if dev is None:
+                    dev = jnp.asarray(np.ascontiguousarray(A_mod))
+                    a_dev_cache[a_key] = dev
+                return dev
+
             # Compacted-column route: with the TSLB bound, gather only the
             # live entry columns (A + S <= best somewhere in the column)
             # into a dense power-of-two bucket — the chunked route below
@@ -474,7 +482,9 @@ class JaxAligner:
                 }
                 if Kb < len(live_chunks) * C:
                     t_kind = time.monotonic()
-                    sel = self._launch_compact(km, A_mod, e_live, Kb, B_pre)
+                    sel = self._launch_compact(
+                        km, get_a_dev(), e_live, Kb, B_pre
+                    )
                     launched.append(("compact", km, sel, e_live, t_kind))
                     continue
                 bases = []
@@ -507,11 +517,7 @@ class JaxAligner:
                     )
             if all(b < 0 for b in bases):
                 continue
-            a_key = (spec.pk, A_mod.shape[1])
-            A_dev = a_dev_cache.get(a_key)
-            if A_dev is None:
-                A_dev = jnp.asarray(np.ascontiguousarray(A_mod))
-                a_dev_cache[a_key] = A_dev
+            A_dev = get_a_dev()
             PAD = max(0, -km.s_lo)
             width = PAD + n_anti + 1 + max(0, C - 1 + km.s_hi)
             Rk_pad = jnp.full((spec.n_p + 1, width), DEV_INF, jnp.int32)
@@ -549,7 +555,7 @@ class JaxAligner:
                 )
         return R_dev
 
-    def _launch_compact(self, km, A_mod, e_live, Kb, B_pre):
+    def _launch_compact(self, km, A_dev, e_live, Kb, B_pre):
         """Enqueue the compacted-column pipeline for one kind: gather the
         live entry columns and their per-e tables into a Kb bucket and
         dispatch _kind_sel_chunks (returns the un-materialized device
@@ -557,20 +563,18 @@ class JaxAligner:
         from .ops.jax_modules import _kind_sel_chunks
 
         spec = km.spec
-        A_sel = np.full((spec.n_p + 1, Kb), int(DEV_INF), np.int32)
-        A_sel[:, : e_live.size] = A_mod[:, e_live]
-        e_sel = np.zeros(Kb, np.int32)  # sentinel 0: DEV_INF columns fold as no-ops
+        e_sel = np.zeros(Kb, np.int32)  # sentinel 0: inert (see _kind_sel_chunks)
         e_sel[: e_live.size] = e_live.astype(np.int32)
-        # The big per-entry tables (seed/lut/sdo/sde) stay resident on the
-        # device (km._fixed, transferred once per alignment); the jitted
-        # pipeline gathers the live columns by e_sel itself.  Only the
-        # small pruned entry matrix and the index vector cross the relay
-        # per round.
+        # Everything big stays resident on the device: the full entry field
+        # (A_dev, cached across kinds per orientation) and the per-entry
+        # tables (km._fixed, transferred once per alignment).  The jitted
+        # pipeline gathers the live columns of both by e_sel; only the tiny
+        # index vector crosses the relay per kind.
         st_sel = km._static._replace(separate_cols=True)
         PAD = max(0, -km.s_lo)
         OUTW = PAD + spec.n_anti + 1 + max(0, km.s_hi)
         return _kind_sel_chunks(
-            jnp.asarray(A_sel),
+            A_dev,
             jnp.asarray(e_sel),
             km._fixed,
             B_pre,

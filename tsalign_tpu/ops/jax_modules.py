@@ -653,16 +653,23 @@ def _kind_sel_chunks(A_sel, e_sel, fixed_sel, B_pre, *, st, PAD, OUTW, gather=Fa
     host gather/transfer of the big tables.  Sentinel columns (e_sel
     pointing anywhere) are inert because their A_sel column is DEV_INF and
     the module seed saturates.  One compile per (kind statics, K bucket)."""
-    K = A_sel.shape[1]
     C = st.chunk
-    if gather and not st.same_seq:
-        fixed_sel = dict(
-            fixed_sel,
-            seed=jnp.take(fixed_sel["seed"], e_sel, axis=0),
-            lut=jnp.take(fixed_sel["lut"], e_sel, axis=1),
-            sdo=jnp.take(fixed_sel["sdo"], e_sel, axis=0),
-            sde=jnp.take(fixed_sel["sde"], e_sel, axis=0),
-        )
+    if gather:
+        # A_sel arrives as the FULL entry field (device-cached across
+        # kinds); gather its live columns here too.  Sentinel e_sel slots
+        # re-gather column e_sel[i]'s true value: a duplicate genuine
+        # contribution folded at its true position (min-idempotent) or
+        # DEV_INF if that column is pruned — exact either way.
+        A_sel = jnp.take(A_sel, e_sel, axis=1)
+        if not st.same_seq:
+            fixed_sel = dict(
+                fixed_sel,
+                seed=jnp.take(fixed_sel["seed"], e_sel, axis=0),
+                lut=jnp.take(fixed_sel["lut"], e_sel, axis=1),
+                sdo=jnp.take(fixed_sel["sdo"], e_sel, axis=0),
+                sde=jnp.take(fixed_sel["sde"], e_sel, axis=0),
+            )
+    K = A_sel.shape[1]
     out0 = jnp.full((st.n_p + 1, OUTW), DEV_INF, jnp.int32)
     n_chunks = -(-K // C)
     e_bases = jnp.asarray(

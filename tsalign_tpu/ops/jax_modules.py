@@ -477,14 +477,6 @@ def _assembly(B, A_chunk, fixed, st):
     D3pad = jnp.full((n_p + 1, C, LL), DEV_INF, jnp.int32)
     D3pad = jax.lax.dynamic_update_slice(D3pad, D3s, (0, 0, OFF))
 
-    # per-segment main sliding mins + band corrections
-    seg_arrays = []
-    for plan in st.plans:
-        w = plan.b - plan.a + 1
-        sw = sliding_min_start(D3pad, w, axis=-1)
-        band = _band_correction(st, plan, D3pad, n_p, C)
-        seg_arrays.append((plan, sw, band))
-
     anti_vec = fixed["anti_vec"]
     S = st.S
     row_idx = jnp.arange(n_p + 1)
@@ -493,13 +485,22 @@ def _assembly(B, A_chunk, fixed, st):
     # static offset t = OFF + s - plan.b over the contiguous static range
     # s in [s_lo, s_hi], i.e. one static slice of width S — the former
     # S-step lax.scan serialized ~hundreds of small device ops per chunk
-    # and dominated the kind execute time.
+    # and dominated the kind execute time.  Each segment's sliding-min
+    # array is folded into U before the next is built, so at most one
+    # D3pad-sized window buffer is live at a time (building all segments
+    # first kept len(plans) of them live simultaneously — the peak-memory
+    # hot spot of the whole kind step at large n).
     U = jnp.full((n_p + 1, C, S), DEV_INF, jnp.int32)
-    for plan, sw, band in seg_arrays:
+    for plan in st.plans:
+        w = plan.b - plan.a + 1
+        band = _band_correction(st, plan, D3pad, n_p, C)
         t0 = OFF + st.s_lo - plan.b  # start-anchored window index at s_lo
-        val = jax.lax.slice(
-            sw, (0, 0, t0), (n_p + 1, C, t0 + S)
-        )
+        # Windows are needed only at t0 .. t0 + S - 1; their source values
+        # span [t0, t0 + S + w - 1), in-bounds by construction of OFF/LL.
+        # Slicing before the sliding min keeps the window buffers S+w wide
+        # instead of LL wide.
+        src = jax.lax.slice(D3pad, (0, 0, t0), (n_p + 1, C, t0 + S + w - 1))
+        val = sliding_min_start(src, w, axis=-1)[..., :S]
         if band is not None:
             b0, b1, bq = band
             te0 = OFF + st.s_lo - plan.a

@@ -123,3 +123,38 @@ def test_jax_engine_ranged_interior_limits_randomized():
             .cost
         )
         assert ocost == nc == jc, (seed, ocost, nc, jc)
+
+
+def test_pallas_compile_failure_falls_back_to_xla(monkeypatch):
+    """A Mosaic compile rejection of the Pallas module kernel (or the
+    primary-sweep kernels) must downgrade to the XLA scan path and still
+    produce the exact cost (ops/jax_primary._disable_pallas,
+    jax_engine._module_pallas_fallback)."""
+    import tsalign_tpu.ops.jax_modules as jm
+    import tsalign_tpu.ops.pallas_module as pm
+    import tsalign_tpu.ops.pallas_sweep as ps
+
+    al = get_alphabet("dna")
+    cfg = TemplateSwitchConfig.default(al)
+    rng = np.random.default_rng(7)
+    ref, qry = related_pair(rng, al, max_len=10)
+    expect = DenseAligner(cfg, ref, qry).align().cost
+
+    def boom(*a, **k):
+        raise RuntimeError("Ran out of memory in vmem (simulated)")
+
+    # Pretend we are on a TPU backend so the Pallas paths are selected,
+    # then make every kernel fail at compile time.
+    monkeypatch.setattr(jm, "_pallas_default", lambda: True)
+    monkeypatch.setattr(pm, "module_scan_pallas", boom)
+    monkeypatch.setattr(ps, "sweep_pallas_flankless", boom)
+    monkeypatch.setattr(ps, "sweep_pallas_flanked", boom)
+    # the kind-module memo may hold Pallas-enabled statics from other tests
+    from tsalign_tpu.jax_engine import _KINDS_MEMO
+
+    _KINDS_MEMO.clear()
+
+    eng = JaxAligner(cfg, ref, qry, chunk=8, keep_fields=False)
+    res = eng.align()
+    assert res.cost == expect
+    _KINDS_MEMO.clear()  # drop downgraded statics

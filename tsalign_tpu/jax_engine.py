@@ -103,6 +103,24 @@ _LB_MEMO: dict = {}
 _KINDS_MEMO: dict = {}
 
 
+def _module_pallas_fallback(km, err: Exception) -> None:
+    """A kind dispatch failed while its statics request the Pallas module
+    kernel: downgrade that kind to the XLA scan path and let the caller
+    retry once.  Re-raises when Pallas was not in play (a genuine error)."""
+    if not km._static.use_pallas:
+        raise err
+    logger.warning(
+        "Pallas module kernel compile failed for kind pk=%d sk=%d dk=%d "
+        "(%s: %s); retrying on the XLA scan path",
+        km.spec.pk,
+        km.spec.sk,
+        km.spec.dk,
+        type(err).__name__,
+        str(err)[:500],
+    )
+    km._static = km._static._replace(use_pallas=False)
+
+
 @dataclass
 class JaxEngineResult:
     cost: int
@@ -523,9 +541,18 @@ class JaxAligner:
             Rk_pad = jnp.full((spec.n_p + 1, width), DEV_INF, jnp.int32)
             e_bases = jnp.asarray(bases, jnp.int32)
             t_kind = time.monotonic()
-            Rk_pad = _kind_all_chunks(
-                A_dev, Rk_pad, fixed, e_bases, B_pre, st=km._static, PAD=PAD
-            )
+            try:
+                Rk_pad = _kind_all_chunks(
+                    A_dev, Rk_pad, fixed, e_bases, B_pre, st=km._static, PAD=PAD
+                )
+            except Exception as e:
+                # Mosaic compile rejection of the Pallas module kernel at an
+                # unusual shape: retry on the XLA scan path (runtime faults
+                # do not reach here — jit compiles synchronously at call).
+                _module_pallas_fallback(km, e)
+                Rk_pad = _kind_all_chunks(
+                    A_dev, Rk_pad, fixed, e_bases, B_pre, st=km._static, PAD=PAD
+                )
             launched.append(("chunked", km, Rk_pad, (PAD, bases), t_kind))
         # Device-side fold: the per-kind (n_p+1, width) slabs stay on device
         # and min into one shared (n_r+1, n_q+1) accumulator that STAYS on
@@ -570,19 +597,31 @@ class JaxAligner:
         # tables (km._fixed, transferred once per alignment).  The jitted
         # pipeline gathers the live columns of both by e_sel; only the tiny
         # index vector crosses the relay per kind.
-        st_sel = km._static._replace(separate_cols=True)
         PAD = max(0, -km.s_lo)
         OUTW = PAD + spec.n_anti + 1 + max(0, km.s_hi)
-        return _kind_sel_chunks(
-            A_dev,
-            jnp.asarray(e_sel),
-            km._fixed,
-            B_pre,
-            st=st_sel,
-            PAD=PAD,
-            OUTW=OUTW,
-            gather=True,
-        )
+        try:
+            return _kind_sel_chunks(
+                A_dev,
+                jnp.asarray(e_sel),
+                km._fixed,
+                B_pre,
+                st=km._static._replace(separate_cols=True),
+                PAD=PAD,
+                OUTW=OUTW,
+                gather=True,
+            )
+        except Exception as e:
+            _module_pallas_fallback(km, e)
+            return _kind_sel_chunks(
+                A_dev,
+                jnp.asarray(e_sel),
+                km._fixed,
+                B_pre,
+                st=km._static._replace(separate_cols=True),
+                PAD=PAD,
+                OUTW=OUTW,
+                gather=True,
+            )
 
     def _fold_compact(self, km, dev_out, e_live) -> np.ndarray:
         """Materialize the device-folded field and cut the real j2 range."""

@@ -112,14 +112,17 @@ class JaxPrimarySweep:
             from .pallas_sweep import sweep_pallas_flankless
 
             sub_rows, dd, io, ie = self.flankless_inputs()
-            M = sweep_pallas_flankless(
-                jnp.asarray(sub_rows),
-                jnp.asarray(dd),
-                seeds[0].transpose(1, 0, 2),
-                jnp.asarray(io),
-                jnp.asarray(ie),
-            )
-            return M.transpose(1, 0, 2)[None]
+            try:
+                M = sweep_pallas_flankless(
+                    jnp.asarray(sub_rows),
+                    jnp.asarray(dd),
+                    seeds[0].transpose(1, 0, 2),
+                    jnp.asarray(io),
+                    jnp.asarray(ie),
+                )
+                return M.transpose(1, 0, 2)[None]
+            except Exception as e:  # Mosaic compile rejection: clean fallback
+                self._disable_pallas(e)
         if self.F > 1 and self._pallas_ok():
             from .pallas_sweep import sweep_pallas_flanked
 
@@ -128,17 +131,20 @@ class JaxPrimarySweep:
             Wq = self.n_q + 1
             # (F, 3, n_rows, Wq) -> (n_rows, F*3, Wq), layer-major
             seeds_r = seeds.reshape(self.F * 3, n_rows, Wq).transpose(1, 0, 2)
-            M = sweep_pallas_flanked(
-                jnp.asarray(subs),
-                jnp.asarray(dd),
-                seeds_r,
-                jnp.asarray(io),
-                jnp.asarray(ie),
-                L=self.L,
-                R=self.R,
-                climb=self.climb,
-            )
-            return M.transpose(1, 0, 2).reshape(self.F, 3, n_rows, Wq)
+            try:
+                M = sweep_pallas_flanked(
+                    jnp.asarray(subs),
+                    jnp.asarray(dd),
+                    seeds_r,
+                    jnp.asarray(io),
+                    jnp.asarray(ie),
+                    L=self.L,
+                    R=self.R,
+                    climb=self.climb,
+                )
+                return M.transpose(1, 0, 2).reshape(self.F, 3, n_rows, Wq)
+            except Exception as e:  # Mosaic compile rejection: clean fallback
+                self._disable_pallas(e)
         arrays = {
             "p": self._rows["primary"],
             "l": self._rows["left"],
@@ -185,9 +191,26 @@ class JaxPrimarySweep:
             ie[t, : self.n_q] = self._ins[name][1]
         return subs, dd, io, ie
 
+    def _disable_pallas(self, err: Exception) -> None:
+        """A Pallas sweep failed to compile (e.g. a Mosaic scoped-VMEM
+        rejection at an unusual shape): log once and route this instance
+        through the XLA scan path from now on.  Runtime worker faults do
+        not reach here — only clean compile-time errors."""
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "Pallas sweep compile failed (%s: %s); falling back to the XLA "
+            "scan path for this sweep",
+            type(err).__name__,
+            str(err)[:500],
+        )
+        self._pallas_broken = True
+
     def _pallas_ok(self) -> bool:
         from .jax_modules import _pallas_default
 
+        if getattr(self, "_pallas_broken", False):
+            return False
         if not _pallas_default():
             return False
         # whole-state-resident kernel: stay well inside VMEM (seeds + out

@@ -279,12 +279,23 @@ class BatchedTSAligner:
             A_dev = jnp.asarray(np.ascontiguousarray(A_mod))
             if shard is not None:
                 A_dev, Rk_pad0 = shard(A_dev), shard(Rk_pad0)
-            step = jax.vmap(
-                lambda a, rk, f, bp: _kind_all_chunks(
-                    a, rk, f, e_bases, bp, st=km0._static, PAD=PAD
-                )
-            )
-            Rk_pad = step(A_dev, Rk_pad0, fixed_b, B_pre)
+            def step(a, rk, f, bp, _km=km0, _PAD=PAD, _eb=e_bases):
+                return jax.vmap(
+                    lambda ai, rki, fi, bpi: _kind_all_chunks(
+                        ai, rki, fi, _eb, bpi, st=_km._static, PAD=_PAD
+                    )
+                )(a, rk, f, bp)
+
+            try:
+                Rk_pad = step(A_dev, Rk_pad0, fixed_b, B_pre)
+            except Exception as e:
+                # Mosaic compile rejection of the vmapped Pallas module
+                # kernel: downgrade this kind to the XLA scan path and retry
+                # (see jax_engine._module_pallas_fallback).
+                from ..jax_engine import _module_pallas_fallback
+
+                _module_pallas_fallback(km0, e)
+                Rk_pad = step(A_dev, Rk_pad0, fixed_b, B_pre)
             launched.append((spec, PAD, Rk_pad))
         if not launched:
             R0 = jnp.full((B, self.nr + 1, self.nq + 1), DEV_INF, jnp.int32)

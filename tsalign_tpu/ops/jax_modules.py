@@ -159,6 +159,18 @@ class JaxKindModule:
             budget = int(os.environ.get("TSALIGN_VMEM_BUDGET_MB", "24")) * 2**20
             while self.chunk > 8 and 4 * (14 * 8 + A + 4) * self.chunk * W_pad > budget:
                 self.chunk //= 2
+            # Separately bound the XLA scan path's HBM working set: the
+            # carried state T is (3, n_p+1, C, W) int32 and the fused step
+            # temporaries are a small multiple of it, so very large shapes
+            # (the 1099x1099 ari golden reaches ~4 GB at chunk 32) are
+            # clamped harder.  More chunks only lengthen the in-dispatch
+            # chunk scan — no extra launches.
+            scan_budget = (
+                int(os.environ.get("TSALIGN_SCAN_BUDGET_MB", "512")) * 2**20
+            )
+            carry = 12 * (spec.n_p + 1) * (spec.r_hi - spec.r_lo + 1)
+            while self.chunk > 8 and carry * self.chunk > scan_budget:
+                self.chunk //= 2
         self.allow_sdel = allow_secondary_deletions
         self.anti_lo, self.anti_hi = anti_lo, anti_hi
 

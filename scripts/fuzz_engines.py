@@ -1,0 +1,123 @@
+"""Randomized differential fuzz harness (longer-running than the suite).
+
+Two modes:
+  engines  — oracle (Dijkstra spec) == numpy dense == JAX device costs over
+             random configs/pairs/flags (max_ts, sdel).
+  e2e      — full Aligner facade (K-scaled tie-break, traceback, extension,
+             equal-cost ranges): the final cost must equal the oracle's
+             optimum and the emitted alignment must re-price to it exactly
+             (pricing.py), including after extension.
+
+Usage:
+  env JAX_PLATFORMS=cpu PYTHONPATH= python scripts/fuzz_engines.py engines 540 12345
+  env JAX_PLATFORMS=cpu PYTHONPATH= python scripts/fuzz_engines.py e2e 540 777
+"""
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+import numpy as np  # noqa: E402
+
+from tsalign_tpu.costs import INF  # noqa: E402
+
+
+def fuzz_engines(budget_s: float, seed0: int) -> int:
+    from tsalign_tpu.alphabet import get_alphabet
+    from tsalign_tpu.engine import DenseAligner
+    from tsalign_tpu.jax_engine import JaxAligner
+    from tsalign_tpu.oracle import OracleAligner
+    from util import random_config, related_pair
+
+    al = get_alphabet("dna")
+    rng = np.random.default_rng(seed0)
+    t0, trials, fails = time.time(), 0, 0
+    while time.time() - t0 < budget_s:
+        trials += 1
+        cfg = random_config(rng, al, flanks=bool(rng.integers(2)))
+        ref, qry = related_pair(rng, al, max_len=12)
+        mts = [None, 0, 1, 2, 3][int(rng.integers(5))]
+        sdel = bool(rng.integers(2))
+        kw = dict(max_template_switches=mts, allow_secondary_deletions=sdel)
+        try:
+            oc, _ = OracleAligner(cfg, ref, qry, **kw).align()
+            oc = oc if oc is not None else INF
+            nc = DenseAligner(cfg, ref, qry, **kw).align().cost
+            jc = JaxAligner(cfg, ref, qry, chunk=8, keep_fields=False, **kw).align().cost
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL trial={trials} EXC {type(e).__name__}: {e}", flush=True)
+            fails += 1
+            continue
+        if not (oc == nc == jc):
+            print(
+                f"FAIL trial={trials} mts={mts} sdel={sdel} "
+                f"oracle={oc} numpy={nc} jax={jc}",
+                flush=True,
+            )
+            print("ref", ref.tolist(), "qry", qry.tolist(), flush=True)
+            fails += 1
+    print(f"done mode=engines trials={trials} fails={fails} seed={seed0}")
+    return fails
+
+
+def fuzz_e2e(budget_s: float, seed0: int) -> int:
+    from tsalign_tpu.aligner import Aligner
+    from tsalign_tpu.alphabet import get_alphabet
+    from tsalign_tpu.oracle import OracleAligner
+    from tsalign_tpu.pricing import price_alignment
+    from util import random_config, related_pair
+
+    al = get_alphabet("dna")
+    rng = np.random.default_rng(seed0)
+    t0, trials, fails = time.time(), 0, 0
+    while time.time() - t0 < budget_s:
+        trials += 1
+        cfg = random_config(rng, al, flanks=bool(rng.integers(2)))
+        ref, qry = related_pair(rng, al, max_len=11)
+        try:
+            oc, _ = OracleAligner(cfg, ref, qry).align()
+            oc = oc if oc is not None else INF
+            a = Aligner(costs=cfg, alphabet="dna", engine="numpy")
+            res = a.align(al.decode(ref), al.decode(qry))
+            cost = int(res.stats()["cost"]) if res.has_target() else None
+            ok = (cost if cost is not None else INF) == oc
+            flanked = (
+                cfg.left_flank_length > 0 or cfg.right_flank_length > 0
+            )
+            # Re-pricing flanked alignments is unsupported (flank ops
+            # RLE-merge lossily; the reference's compute_cost has a todo!()
+            # there too) — cost equality vs the oracle still holds above.
+            if ok and res.has_target() and not flanked:
+                p = price_alignment(
+                    cfg, ref, qry, res.result.alignment
+                )
+                ok = p == cost
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL trial={trials} EXC {type(e).__name__}: {e}", flush=True)
+            fails += 1
+            continue
+        if not ok:
+            print(
+                f"FAIL trial={trials} oracle={oc} aligner={cost}",
+                flush=True,
+            )
+            print("ref", ref.tolist(), "qry", qry.tolist(), flush=True)
+            fails += 1
+    print(f"done mode=e2e trials={trials} fails={fails} seed={seed0}")
+    return fails
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "engines"
+    budget = float(sys.argv[2]) if len(sys.argv) > 2 else 300
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    fails = fuzz_engines(budget, seed) if mode == "engines" else fuzz_e2e(budget, seed)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

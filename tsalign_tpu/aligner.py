@@ -110,21 +110,60 @@ class Aligner:
         tie-break (the reference CLI default, align.rs:115-117) the engines
         run on a K-scaled config with secondary_length_bonus = 1, so path
         values are K*cost - ts_total_length; minimizing that is the
-        lexicographic (cost, -ts_total_length) optimum."""
+        lexicographic (cost, -ts_total_length) optimum.
+
+        K-soundness: the decomposition is exact iff every path the engine
+        represents has ts_total_length < K.  Without rewinding reentries
+        (config.can_rewind() False) the discounted ops consume monotone
+        primary positions, so tsl <= n_r + n_q < K.  With rewind, tsl is
+        bounded by (#TSMs) * l_max <= (rounds - 1) * l_max, checked
+        post-hoc; on violation K is escalated and the engine re-run.
+        Degenerate configs (rewind + possibly-zero-cost TSMs) make the
+        maximise objective unbounded — the reference's label-correcting
+        search would not terminate there — so the tie-break is dropped and
+        the raw optimum returned."""
+        from .engine import min_tsm_cost_bound
+
         maximise = self.template_switch_total_length_strategy == "maximise"
-        cfg = self.costs
+        base_cfg = self.costs
+        rewind = base_cfg.can_rewind()
+        if (
+            maximise
+            and max_ts != 0
+            and rewind
+            and min_tsm_cost_bound(base_cfg) <= 0
+        ):
+            maximise = False
         K = 1
         if maximise:
-            K = 1
             while K < len(ref_arr) + len(qry_arr) + 2:
                 K *= 2
-            cfg = cfg.scaled_for_length_tiebreak(K)
+        n_max = max(len(ref_arr), len(qry_arr), 1)
+        lw = base_cfg.length_costs.maximum_finite_input()
+        l_max_eff = min(int(lw) if lw is not None else n_max, n_max)
+        for _ in range(4):
+            cfg = (
+                base_cfg.scaled_for_length_tiebreak(K) if K > 1 else base_cfg
+            )
+            comp, alignment = self._run_engine_raw(
+                cfg, ref_arr, qry_arr, range_, max_ts, allowed_primaries,
+                prune_range,
+            )
+            if comp >= INF:
+                return INF, alignment
+            if K == 1:
+                return comp, alignment
+            t_bound = max(0, getattr(self, "_last_rounds", 1) - 1) * l_max_eff
+            if not rewind or max_ts == 0 or t_bound < K:
+                return -(-comp // K), alignment
+            while K <= t_bound:
+                K *= 2
+        # Escalation did not settle (pathological); the raw optimum is exact.
         comp, alignment = self._run_engine_raw(
-            cfg, ref_arr, qry_arr, range_, max_ts, allowed_primaries, prune_range
+            base_cfg, ref_arr, qry_arr, range_, max_ts, allowed_primaries,
+            prune_range,
         )
-        if comp >= INF:
-            return INF, alignment
-        return -(-comp // K), alignment
+        return comp, alignment
 
     def _run_engine_raw(
         self,
@@ -156,12 +195,14 @@ class Aligner:
                 self._last_cells = getattr(self, "_last_cells", 0) + getattr(
                     eng, "cells_swept", 0
                 )
+                self._last_rounds = getattr(eng, "last_rounds", 1)
                 return out
             except OverflowError:
                 pass  # fall back to the exact int64 numpy engine
         eng = DenseAligner(cfg, ref_arr, qry_arr, **kw)
         out = eng.align_with_traceback()
         self._last_cells += getattr(eng, "cells_swept", 0)
+        self._last_rounds = getattr(eng, "last_rounds", 1)
         return out
 
     def align(

@@ -195,6 +195,21 @@ class TemplateSwitchConfig:
         out.append("")
         return "\n".join(out)
 
+    def can_rewind(self) -> bool:
+        """True when any anti-primary-gap function admits a finite negative
+        gap: a TSM reentry can then move the anti coordinate backwards, so
+        primary positions may be consumed repeatedly across TSMs and the
+        total-TS-length tie-break discount is no longer bounded by
+        n_r + n_q (see aligner._run_engine's K-soundness guard)."""
+        for fn in (
+            self.forward_anti_primary_gap_costs,
+            self.reverse_anti_primary_gap_costs,
+        ):
+            w = fn.finite_window()
+            if w is not None and int(w[0]) < 0:
+                return True
+        return False
+
     def scaled_for_length_tiebreak(self, factor: int) -> "TemplateSwitchConfig":
         """K-scaled copy with secondary_length_bonus = 1 (lexicographic
         (cost, -ts_total_length) optimization in one integer)."""

@@ -311,6 +311,7 @@ class DenseAligner:
 
     def align_with_traceback(self):
         result = self.align()
+        self.last_rounds = result.rounds  # K-soundness guard (aligner)
         return _align_with_traceback(self, result)
 
 

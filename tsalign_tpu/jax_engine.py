@@ -783,4 +783,5 @@ class JaxAligner:
         from .engine import _align_with_traceback
 
         result = self.align()
+        self.last_rounds = result.rounds  # K-soundness guard (aligner)
         return _align_with_traceback(self, result)

@@ -82,9 +82,18 @@ class DenseAligner:
             self.anti_bounds_ref = (self.range.reference_offset, self.range.reference_limit)
             self.anti_bounds_qry = (self.range.query_offset, self.range.query_limit)
         else:
+            # NoPrune walks are bounded by the REAL sequence ends — poison
+            # padding (bucketed batch/chain problems) must not widen the
+            # anti-gap walk space (context.rs:636-707 semantics).
+            from .ops.tsm_modules import real_seq_length
+
             sweep_range = AlignmentRange.complete(n_r, n_q)
-            self.anti_bounds_ref = (0, n_r)
-            self.anti_bounds_qry = (0, n_q)
+            self.anti_bounds_ref = (
+                0, real_seq_length(self.ref, config.alphabet.size)
+            )
+            self.anti_bounds_qry = (
+                0, real_seq_length(self.qry, config.alphabet.size)
+            )
         self._sweep_range = sweep_range
 
     def _sweep(self, seeds: np.ndarray, climb: bool) -> np.ndarray:

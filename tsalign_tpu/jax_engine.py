@@ -152,6 +152,15 @@ class JaxAligner:
         self.qry = np.asarray(query)
         n_r, n_q = len(self.ref), len(self.qry)
         self.n_r, self.n_q = n_r, n_q
+        # Real content lengths of possibly poison-padded inputs (bucketed
+        # batch/chain problems): every STRUCTURAL feasibility (seed walk
+        # bounds, strict reentry, exit anti-gap walk) derives from these;
+        # padded lengths only drive shapes (shared compiled programs).
+        from .ops.tsm_modules import real_seq_length
+
+        self.n_r_real = real_seq_length(self.ref, config.alphabet.size)
+        self.n_q_real = real_seq_length(self.qry, config.alphabet.size)
+        self._padded = self.n_r_real != n_r or self.n_q_real != n_q
         self.range = range_ or AlignmentRange.complete(n_r, n_q)
         self.max_ts = max_template_switches
         self.prune_range = prune_range
@@ -399,7 +408,10 @@ class JaxAligner:
             for sk in (0, 1):
                 for dk in (0, 1):
                     spec = make_kind_spec(
-                        self.config, self.n_r, self.n_q, pk, sk, dk, sdel_budget=budget
+                        self.config, self.n_r, self.n_q, pk, sk, dk,
+                        sdel_budget=budget,
+                        n_ref_real=self.n_r_real if self._padded else None,
+                        n_qry_real=self.n_q_real if self._padded else None,
                     )
                     if spec is None:
                         continue
@@ -566,6 +578,7 @@ class JaxAligner:
             R_dev = _fold_kind_cells(
                 R_dev,
                 dev_out,
+                np.int32(spec.n_anti_real),
                 PAD=PAD,
                 n_anti=spec.n_anti,
                 transpose=spec.pk == 1,

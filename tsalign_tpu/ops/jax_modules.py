@@ -130,6 +130,11 @@ class _Static(NamedTuple):
     chunk: int
     use_pallas: bool
     separate_cols: bool = False
+    # Poison-padded problem (bucketed batch/chain): anti_hi above is the
+    # PADDED walk bound (shared across a bucket so programs are reused);
+    # the real bound rides as traced data in fixed["ah_real"] and the
+    # positive-ldiff exit-walk row partition is computed at trace time.
+    padded: bool = False
 
 
 class JaxKindModule:
@@ -316,6 +321,7 @@ class JaxKindModule:
                 )
         self.plans = tuple(plans)
 
+        padded = spec.bucketed
         self._static = _Static(
             same_seq=spec.same_seq,
             dk=spec.dk,
@@ -334,6 +340,7 @@ class JaxKindModule:
             plans=self.plans,
             chunk=self.chunk,
             use_pallas=_pallas_default() and not spec.same_seq,
+            padded=padded,
         )
         self._fixed = {
             "seed": jnp.asarray(self.seed),
@@ -347,6 +354,12 @@ class JaxKindModule:
             "length_vec": jnp.asarray(self.length_vec),
             "anti_vec": jnp.asarray(self.anti_vec),
         }
+        if padded:
+            # Traced (not static) so bucketed problems with different real
+            # lengths share one compiled program; stacks to (B,) in the
+            # batched path.  The effective walk bound is the tighter of the
+            # static bound (the range under RangePrune) and the real length.
+            self._fixed["ah_real"] = jnp.int32(min(anti_hi, spec.n_anti_real))
 
     def run(self, A_chunk: jnp.ndarray, seed_chunk, lut_chunk, do_chunk, de_chunk):
         """A_chunk: (n_p+1, C) entry costs for this e-slab (same_seq: full
@@ -505,6 +518,20 @@ def _assembly(B, A_chunk, fixed, st):
     U = jnp.full((n_p + 1, C, S), DEV_INF, jnp.int32)
     for plan in st.plans:
         w = plan.b - plan.a + 1
+        if st.padded and plan.positive:
+            # Poison-padded problem: the positive-ldiff walk bound
+            # p2 + ldiff <= Ah uses the REAL anti length (traced in
+            # fixed["ah_real"]), so the row partition (full/banded/killed)
+            # is computed per row at trace time via per-row-width sparse-
+            # table window minima.  Negative plans depend only on anti_lo
+            # (= 0 here) and keep the static machinery below.
+            val = _assembly_positive_traced(
+                st, plan, D3pad, n_p, C, fixed["ah_real"]
+            )
+            U = jnp.minimum(
+                U, sat_add(val, np.int32(min(plan.cost, int(DEV_INF))))
+            )
+            continue
         band = _band_correction(st, plan, D3pad, n_p, C)
         t0 = OFF + st.s_lo - plan.b  # start-anchored window index at s_lo
         # Windows are needed only at t0 .. t0 + S - 1; their source values
@@ -545,6 +572,35 @@ def _assembly(B, A_chunk, fixed, st):
     flat = V.reshape(n_p + 1, C * (S + C))
     skewed = flat[:, : C * (S + C) - C].reshape(n_p + 1, C, S + C - 1)
     return jnp.min(skewed, axis=1)
+
+
+def _assembly_positive_traced(st, plan: _SegPlan, D3pad, n_p: int, C: int, ah):
+    """Positive-ldiff segment contribution with a TRACED walk bound `ah`
+    (the real anti length of a poison-padded problem).
+
+    Exact counterpart of the static full+band+kill partition: row p2's
+    feasible ldiff range is [a, min(b, ah - p2)], i.e. an end-anchored
+    window of per-row width w_row = clip(ah - a - p2 + 1, 1, w), killed
+    when ah - p2 < a.  Per-row widths are served from power-of-two sparse
+    tables (log2(w)+1 levels over the S+w-1 wide source slice)."""
+    w = plan.b - plan.a + 1
+    S = st.S
+    t0 = st.OFF + st.s_lo - plan.b
+    src = jax.lax.slice(D3pad, (0, 0, t0), (n_p + 1, C, t0 + S + w - 1))
+    M = jnp.stack(build_sparse_table(src, w))  # (K, n_p+1, C, S+w-1)
+    rows = jnp.arange(n_p + 1, dtype=jnp.int32)
+    w_row = jnp.clip(ah - plan.a - rows + 1, 1, w)
+    k_r = jnp.floor(jnp.log2(w_row.astype(jnp.float32))).astype(jnp.int32)
+    pow_r = jnp.left_shift(jnp.int32(1), k_r)
+    Msel = M[k_r, rows]  # (n_p+1, C, S+w-1) per-row level
+    t_end = jnp.arange(S, dtype=jnp.int32) + (w - 1)
+    i1 = t_end[None, :] - w_row[:, None] + 1  # (n_p+1, S), always in range
+    i2 = t_end[None, :] - pow_r[:, None] + 1
+    v1 = jnp.take_along_axis(Msel, i1[:, None, :], axis=-1)
+    v2 = jnp.take_along_axis(Msel, i2[:, None, :], axis=-1)
+    val = jnp.minimum(v1, v2)
+    kill = rows[:, None, None] > ah - plan.a
+    return jnp.where(kill, DEV_INF, val)
 
 
 def _band_correction(st, plan: _SegPlan, D3pad, n_p: int, C: int):
@@ -761,16 +817,17 @@ def _kind_chunk_step(Rk_pad, *, A_mod, fixed, e_base, B_pre, st, PAD):
     static_argnames=("PAD", "n_anti", "transpose"),
     donate_argnums=(0,),
 )
-def _fold_kind_cells(R_dev, Rk_pad, *, PAD, n_anti, transpose):
+def _fold_kind_cells(R_dev, Rk_pad, n_real, *, PAD, n_anti, transpose):
     """Min-fold one kind's padded reentry slab into the shared (ref, query)
     reentry-cell accumulator ON DEVICE: slice the real j2 range, apply the
-    strict-reentry bound (j2 < n_anti), transpose pk==1 kinds, min.  Keeps
-    the per-kind (n_p+1, width) slabs on device so only the final folded
-    field crosses the relay (the eight ~MB per-kind transfers per round
-    dominated the reentry wall time)."""
+    strict-reentry bound (j2 < n_real, the REAL anti length of a possibly
+    poison-padded problem — traced so bucketed problems share programs),
+    transpose pk==1 kinds, min.  Keeps the per-kind (n_p+1, width) slabs on
+    device so only the final folded field crosses the relay (the eight ~MB
+    per-kind transfers per round dominated the reentry wall time)."""
     Rk = Rk_pad[:, PAD : PAD + n_anti + 1]
-    inf_col = jnp.full((Rk.shape[0], 1), DEV_INF, Rk.dtype)
-    Rk = jnp.concatenate([Rk[:, :n_anti], inf_col], axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, n_anti + 1), 1)
+    Rk = jnp.where(cols < n_real, Rk, DEV_INF)
     if transpose:
         Rk = Rk.T
     return jnp.minimum(R_dev, Rk)

@@ -85,11 +85,20 @@ class PrimarySweep:
         self.F = self.L + self.R + 1
 
         self._tables = {}
+        # Poison padding char support (bucketed batch/chain problems):
+        # sequences may carry index == alphabet size; pad every table with
+        # an INF row/column so any op touching padding is infeasible.
+        from .jax_primary import _pad_table_for_poison
+
+        pad_idx = config.alphabet.size
+        self.ref = np.clip(self.ref, 0, pad_idx)
+        self.qry = np.clip(self.qry, 0, pad_idx)
         for name, table in (
             ("primary", config.primary_edit_costs),
             ("left", config.left_flank_edit_costs),
             ("right", config.right_flank_edit_costs),
         ):
+            table = _pad_table_for_poison(table)
             if self.n_r and self.n_q:
                 sub = table.substitution[self.ref[:, None], self.qry[None, :]]
             else:

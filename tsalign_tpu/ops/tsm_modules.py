@@ -61,6 +61,14 @@ def _dense_or_inf(fn: CostFunction, lo: int, hi: int) -> np.ndarray:
     return out
 
 
+def real_seq_length(seq: np.ndarray, alphabet_size: int) -> int:
+    """Content length of a possibly poison-suffix-padded sequence: the
+    index of the first poison char (== alphabet_size), or len(seq)."""
+    s = np.asarray(seq)
+    hits = np.nonzero(s >= alphabet_size)[0]
+    return int(hits[0]) if hits.size else len(s)
+
+
 @dataclass
 class KindSpec:
     """Static description of one TSM kind's dense module."""
@@ -78,6 +86,26 @@ class KindSpec:
     r_lo: int
     r_hi: int
     seed: np.ndarray  # (n_s+1, W): entrance cost at (b = e_s, r = fo), INF-masked
+    # Real (pre-poison-padding) lengths.  Shapes and windows above derive
+    # from the padded lengths so equal-shaped bucketed problems share
+    # compiled programs; every STRUCTURAL feasibility (root-spawn walk
+    # bounds, strict reentry j2 < n_anti, exit anti-gap walk bounds) must
+    # use these instead — the padded lengths would otherwise widen the
+    # reachable state space beyond the real problem's (padding is only
+    # sound for char-touching ops, which the poison tables price INF).
+    n_s_real: int = -1
+    n_anti_real: int = -1
+    # True when the caller passed explicit real lengths (bucketed problem):
+    # the device pipeline then uses the traced-bound machinery even when a
+    # pair's real length coincides with the bucket, so a bucket's programs
+    # and stacked pytrees stay uniform.
+    bucketed: bool = False
+
+    def __post_init__(self):
+        if self.n_s_real < 0:
+            self.n_s_real = self.n_s
+        if self.n_anti_real < 0:
+            self.n_anti_real = self.n_anti
 
 
 def make_kind_spec(
@@ -88,8 +116,17 @@ def make_kind_spec(
     sk: int,
     dk: int,
     sdel_budget: Optional[int] = None,
+    n_ref_real: Optional[int] = None,
+    n_qry_real: Optional[int] = None,
 ) -> Optional[KindSpec]:
-    """Build the static spec for one kind, or None if the kind is inactive."""
+    """Build the static spec for one kind, or None if the kind is inactive.
+
+    n_ref/n_qry may be poison-padded lengths (bucketed batch/chain
+    problems); n_*_real are then the real content lengths.  Shapes, windows
+    and the active/inactive decision derive from the padded lengths (so all
+    problems in a bucket agree); the seed feasibility mask uses the real
+    lengths (root-spawn walk bounds telescope against the real secondary
+    end, template_switch_distance.rs:241-327)."""
     base = config.get_base_cost(_PK[pk], _PK[sk], _DK[dk])
     offset_fn = config.offset_costs(_PK[pk], _PK[sk])
     length_fn = config.length_costs
@@ -98,6 +135,11 @@ def make_kind_spec(
     n_p = n_ref if pk == 0 else n_qry
     n_s = n_ref if sk == 0 else n_qry
     n_anti = n_qry if pk == 0 else n_ref
+    bucketed = n_ref_real is not None or n_qry_real is not None
+    n_ref_real = n_ref if n_ref_real is None else n_ref_real
+    n_qry_real = n_qry if n_qry_real is None else n_qry_real
+    n_s_real = n_ref_real if sk == 0 else n_qry_real
+    n_anti_real = n_qry_real if pk == 0 else n_ref_real
 
     if base >= INF or n_p == 0 or n_s == 0 or n_anti == 0:
         return None
@@ -149,7 +191,7 @@ def make_kind_spec(
         # min_len <= e_s + fo <= n_s (walk conditions telescope to this).
         cost = sat_add(np.full_like(offd, base), offd)
         cost = np.broadcast_to(cost, (n_s + 1, W)).copy()
-        feasible = (b + r >= min_len) & (b + r <= n_s)
+        feasible = (b + r >= min_len) & (b + r <= n_s_real)
     else:
         # Forward: seeds at fo=+-1 cost base+offset(0) (quirk); farther
         # offsets add telescoped deltas offset(fo)-offset(sign(fo)).
@@ -175,11 +217,23 @@ def make_kind_spec(
         cost[0, far_up] = up[far_up]
         cost[0, far_dn] = dn[far_dn]
         cost = np.broadcast_to(cost, (n_s + 1, W)).copy()
-        feasible = (b + r >= 0) & (b + r + min_len <= n_s) & (r != 0)
+        feasible = (b + r >= 0) & (b + r + min_len <= n_s_real) & (r != 0)
 
     seed = np.where(feasible, cost, INF)
     if not (seed < INF).any():
-        return None
+        # Bucketed problems must keep the kind-set uniform across pairs
+        # (the batched path stacks per-pair tensors): gate activity on the
+        # PADDED feasibility (shared across the bucket) and let the
+        # all-INF real seed make this pair's module a no-op.
+        if not bucketed:
+            return None
+        feas_pad = (
+            (b + r >= min_len) & (b + r <= n_s)
+            if dk == 1
+            else (b + r >= 0) & (b + r + min_len <= n_s) & (r != 0)
+        )
+        if not (np.where(feas_pad, cost, INF) < INF).any():
+            return None
 
     return KindSpec(
         pk=pk,
@@ -195,6 +249,9 @@ def make_kind_spec(
         r_lo=r_lo,
         r_hi=r_hi,
         seed=seed,
+        n_s_real=n_s_real,
+        n_anti_real=n_anti_real,
+        bucketed=bucketed,
     )
 
 
@@ -223,8 +280,16 @@ class ModuleSweep:
         qry = np.asarray(query, dtype=np.int64)
         self.P = ref if spec.pk == 0 else qry
         sec = ref if spec.sk == 0 else qry
-        comp = config.alphabet.complement_array().astype(np.int64)
-        table = config.secondary_edit_costs(_DK[spec.dk])
+        # Poison padding char support (bucketed batch/chain problems): the
+        # complement of poison is poison and its padded table row/column
+        # prices INF, so any op touching padding is infeasible.
+        A = config.alphabet.size
+        comp = np.append(
+            config.alphabet.complement_array().astype(np.int64), A
+        )
+        from .jax_primary import _pad_table_for_poison
+
+        table = _pad_table_for_poison(config.secondary_edit_costs(_DK[spec.dk]))
 
         n_s, r_lo, r_hi = spec.n_s, spec.r_lo, spec.r_hi
         W = r_hi - r_lo + 1
@@ -590,9 +655,10 @@ def assemble_reentry(
                 ok_rows = p2 + ldiff >= anti_lo
             else:
                 ok_rows = np.ones_like(p2, dtype=bool)
-            # reentry column j2 = e_anti + ag, 0 <= j2 < n_anti
+            # reentry column j2 = e_anti + ag, 0 <= j2 < n_anti (real
+            # content length under poison padding — strict reentry)
             j2_lo = max(ag, 0)
-            j2_hi = min(n_anti + ag, n_anti - 1)
+            j2_hi = min(n_anti + ag, spec.n_anti_real - 1)
             if j2_lo > j2_hi:
                 continue
             e_lo = j2_lo - ag
@@ -698,7 +764,7 @@ def assemble_reentry_sparse(
     )
     feas &= Wl < INF
     j2 = es[:, None] + ls[:, None] + ld  # e + ag, ag = l + ldiff
-    feas &= (j2 >= 0) & (j2 < n_anti)
+    feas &= (j2 >= 0) & (j2 < spec.n_anti_real)
     flat = np.where(feas, p2[:, None] * (n_anti + 1) + j2, R.size)
     sink = np.append(R.reshape(-1), INF)
     np.minimum.at(sink, flat.reshape(-1), np.where(feas, tot, INF).reshape(-1))
@@ -732,6 +798,8 @@ def compute_reentry_fields(
     a dict that lives as long as the (config, pair, budget) triple.
     """
     n_r, n_q = len(reference), len(query)
+    n_r_real = real_seq_length(reference, config.alphabet.size)
+    n_q_real = real_seq_length(query, config.alphabet.size)
     out = np.full((n_r + 1, n_q + 1), INF, dtype=np.int64)
     for pk in allowed_primaries:
         A_mod = entry_field if pk == 0 else entry_field.T
@@ -739,7 +807,8 @@ def compute_reentry_fields(
         for sk in (0, 1):
             for dk in (0, 1):
                 spec = make_kind_spec(
-                    config, n_r, n_q, pk, sk, dk, sdel_budget=sdel_budget
+                    config, n_r, n_q, pk, sk, dk, sdel_budget=sdel_budget,
+                    n_ref_real=n_r_real, n_qry_real=n_q_real,
                 )
                 if spec is None:
                     continue

@@ -210,9 +210,16 @@ class BatchedTSAligner:
         self.kind_sets = []
         for i in range(self.n_pairs):
             kinds = []
+            lr, lq = self.real[i]
             for pk in (0, 1):
                 for sk in (0, 1):
                     for dk in (0, 1):
+                        # Per-pair REAL lengths drive the structural
+                        # feasibilities (seed walk bounds, strict reentry,
+                        # exit walk); the shared bucket lengths drive the
+                        # shapes and the active/None decision, so every
+                        # pair agrees on the kind set and the stacked
+                        # shapes below.
                         spec = make_kind_spec(
                             self.config,
                             self.nr,
@@ -221,6 +228,8 @@ class BatchedTSAligner:
                             sk,
                             dk,
                             sdel_budget=budget,
+                            n_ref_real=lr,
+                            n_qry_real=lq,
                         )
                         if spec is None:
                             continue
@@ -296,7 +305,11 @@ class BatchedTSAligner:
 
                 _module_pallas_fallback(km0, e)
                 Rk_pad = step(A_dev, Rk_pad0, fixed_b, B_pre)
-            launched.append((spec, PAD, Rk_pad))
+            n_reals = jnp.asarray(
+                [lq if spec.pk == 0 else lr for lr, lq in self.real],
+                jnp.int32,
+            )
+            launched.append((spec, PAD, Rk_pad, n_reals))
         if not launched:
             R0 = jnp.full((B, self.nr + 1, self.nq + 1), DEV_INF, jnp.int32)
             return shard(R0) if shard is not None else R0
@@ -307,13 +320,14 @@ class BatchedTSAligner:
         R_dev = jnp.full((B, self.nr + 1, self.nq + 1), DEV_INF, jnp.int32)
         if shard is not None:
             R_dev = shard(R_dev)
-        for spec, PAD, Rk_pad in launched:
+        for spec, PAD, Rk_pad, n_reals in launched:
             fold = jax.vmap(
-                lambda r, rk: _fold_kind_cells(
-                    r, rk, PAD=PAD, n_anti=spec.n_anti, transpose=spec.pk == 1
+                lambda r, rk, nr, _PAD=PAD, _sp=spec: _fold_kind_cells(
+                    r, rk, nr, PAD=_PAD, n_anti=_sp.n_anti,
+                    transpose=_sp.pk == 1,
                 )
             )
-            R_dev = fold(R_dev, Rk_pad)
+            R_dev = fold(R_dev, Rk_pad, n_reals)
         return R_dev
 
     def align(self, mesh=None) -> List[JaxEngineResult]:
@@ -481,6 +495,7 @@ class BatchedTSAligner:
         if not self.keep_fields:
             self.keep_fields = True
         results = self.align(mesh=mesh)
+        self.last_results = results  # per-pair rounds (K-soundness guard)
         out = []
         for i, res in enumerate(results):
             if res.cost >= INF:
@@ -528,6 +543,15 @@ def align_pairs(
 
     al = config.alphabet
     enc = [(al.encode(r.upper()), al.encode(q.upper())) for r, q in pairs]
+    # K-soundness (aligner._run_engine): the scaled decomposition is exact
+    # only while total TS length < K; a rewinding config with zero-cost TSMs
+    # makes the maximise objective unbounded, so drop the tie-break there.
+    if (
+        maximise_total_length
+        and config.can_rewind()
+        and min_tsm_cost_bound(config) <= 0
+    ):
+        maximise_total_length = False
     K = 1
     cfg_run = config
     if maximise_total_length:
@@ -552,6 +576,33 @@ def align_pairs(
         return out
 
     duration = _time.monotonic() - t0
+    # Post-hoc K check per pair (aligner._run_engine semantics): with
+    # rewinding reentries total TS length is only bounded by
+    # (rounds-1) * l_max; pairs where that bound reaches K re-run through
+    # the single-pair guarded path (which escalates K exactly).
+    rewind = config.can_rewind()
+    lw = config.length_costs.maximum_finite_input()
+    redo: List[int] = []
+    if K > 1 and rewind:
+        for i, (comp, _aln) in enumerate(traced):
+            if comp >= INF:
+                continue
+            lr, lq = len(enc[i][0]), len(enc[i][1])
+            l_max_eff = min(int(lw) if lw is not None else max(lr, lq, 1),
+                            max(lr, lq, 1))
+            rounds = bt.last_results[i].rounds
+            if max(0, rounds - 1) * l_max_eff >= K:
+                redo.append(i)
+    if redo:
+        a = Aligner(costs=config)
+        for i in redo:
+            nm = names[i] if names else ("reference", "query")
+            comp_i, aln_i = a._run_engine(
+                enc[i][0], enc[i][1],
+                AlignmentRange.complete(len(enc[i][0]), len(enc[i][1])),
+                None, None, False,
+            )
+            traced[i] = (comp_i * K if comp_i < INF else INF, aln_i)
     records = []
     for i, (comp, alignment) in enumerate(traced):
         r_str, q_str = pairs[i][0].upper(), pairs[i][1].upper()

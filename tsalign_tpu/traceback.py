@@ -221,6 +221,13 @@ class TracebackEngine:
         self.allow_sdel = allow_secondary_deletions
         self.sdel_budget = sdel_budget
         self.allowed_primaries = tuple(allowed_primaries)
+        # Real content lengths: padded (poison) inputs must not widen the
+        # structural feasibilities (see tsm_modules.KindSpec).
+        from .ops.tsm_modules import real_seq_length
+
+        self.n_r_real = real_seq_length(self.ref, config.alphabet.size)
+        self.n_q_real = real_seq_length(self.qry, config.alphabet.size)
+        self._bucketed = self.n_r_real != n_r or self.n_q_real != n_q
         if prune_range:
             sweep = self.range
             self.anti_bounds = {
@@ -229,7 +236,7 @@ class TracebackEngine:
             }
         else:
             sweep = AlignmentRange.complete(n_r, n_q)
-            self.anti_bounds = {0: (0, n_q), 1: (0, n_r)}
+            self.anti_bounds = {0: (0, self.n_q_real), 1: (0, self.n_r_real)}
         self.ref_ok = np.zeros(n_r + 1, dtype=bool)
         self.qry_ok = np.zeros(n_q + 1, dtype=bool)
         self.ref_ok[sweep.reference_offset : sweep.reference_limit] = True
@@ -307,7 +314,10 @@ class TracebackEngine:
         key = (pk, sk, dk)
         if key not in self._specs:
             self._specs[key] = make_kind_spec(
-                self.config, self.n_r, self.n_q, pk, sk, dk, sdel_budget=self.sdel_budget
+                self.config, self.n_r, self.n_q, pk, sk, dk,
+                sdel_budget=self.sdel_budget,
+                n_ref_real=self.n_r_real if self._bucketed else None,
+                n_qry_real=self.n_q_real if self._bucketed else None,
             )
         return self._specs[key]
 
@@ -337,8 +347,9 @@ class TracebackEngine:
                     if spec is None:
                         continue
                     # strict reentry bound: the anti coordinate lands inside
-                    # the anti sequence (template_switch_distance.rs:600-618)
-                    if not (0 <= j2 < spec.n_anti):
+                    # the REAL anti sequence
+                    # (template_switch_distance.rs:600-618)
+                    if not (0 <= j2 < spec.n_anti_real):
                         continue
                     anti_fn = cfg.anti_primary_gap_costs(_DK[dk])
                     for l in range(spec.min_len, min(spec.l_max, p2) + 1):

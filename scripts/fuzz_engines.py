@@ -224,6 +224,66 @@ def fuzz_padded(budget_s: float, seed0: int) -> int:
     return fails
 
 
+def fuzz_chain(budget_s: float, seed0: int) -> int:
+    """chain_align (anchors -> windowed chain -> segment cuts -> dense
+    segments -> verification pass) must equal the full dense engine on
+    pairs small enough to run both.  Pairs are built related (mutated
+    copies with planted reverse-complement stretches) so anchors exist —
+    the regime the cut heuristic actually operates in."""
+    from tsalign_tpu.alphabet import get_alphabet
+    from tsalign_tpu.chain.driver import chain_align
+    from tsalign_tpu.config import TemplateSwitchConfig
+    from tsalign_tpu.engine import DenseAligner
+    from tsalign_tpu.pricing import price_alignment
+
+    al = get_alphabet("dna-n")
+    cfg = TemplateSwitchConfig.from_path(
+        "/root/reference/sample_tsa_config/config.tsa", al
+    )
+    comp = al.complement_array()
+    rng = np.random.default_rng(seed0)
+    t0, trials, fails = time.time(), 0, 0
+    while time.time() - t0 < budget_s:
+        trials += 1
+        n = int(rng.integers(100, 170))
+        ref = rng.integers(0, 4, size=n).astype(np.int8)
+        qry = ref.copy()
+        # planted reverse-complement TSMs
+        for _ in range(int(rng.integers(0, 3))):
+            p = int(rng.integers(10, n - 20))
+            L = int(rng.integers(6, 12))
+            qry[p : p + L] = [comp[c] for c in qry[p : p + L]][::-1]
+        # SNPs and short indels
+        for _ in range(int(rng.integers(0, 6))):
+            p = int(rng.integers(0, n))
+            qry[p] = (qry[p] + 1 + int(rng.integers(3))) % 4
+        if rng.integers(2):
+            p = int(rng.integers(0, n - 3))
+            qry = np.delete(qry, slice(p, p + int(rng.integers(1, 3))))
+        try:
+            want = DenseAligner(cfg, ref, qry).align().cost
+            res = chain_align(
+                cfg, ref, qry, engine="numpy",
+                target_segment=int(rng.integers(48, 160)),
+                verify=True, progress=False,
+            )
+            got = res.cost
+            ok = want == got
+            if ok:
+                ok = price_alignment(cfg, ref, qry, res.alignment) == got
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL trial={trials} EXC {type(e).__name__}: {e}", flush=True)
+            fails += 1
+            continue
+        if not ok:
+            print(
+                f"FAIL trial={trials} n={n} want={want} got={got}", flush=True
+            )
+            fails += 1
+    print(f"done mode=chain trials={trials} fails={fails} seed={seed0}")
+    return fails
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "engines"
     budget = float(sys.argv[2]) if len(sys.argv) > 2 else 300
@@ -233,6 +293,7 @@ def main():
         "e2e": fuzz_e2e,
         "batch": fuzz_batch,
         "padded": fuzz_padded,
+        "chain": fuzz_chain,
     }[mode]
     fails = fn(budget, seed)
     return 1 if fails else 0

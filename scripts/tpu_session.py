@@ -17,6 +17,7 @@ Steps in default order (safe -> risky):
   heli_bench     headline bench case, cold + best-of-3 warm
   goldens        heli/linc/underscore engine runs vs golden costs
   loci           flanked real loci (TSNAX/GNG12/LINC00271, bench config)
+  chain_scale    30 kb chained mode on the device engine (padded buckets)
   twin1000       twin_1000 family device pins (sample config)
   ari            the 1099x1099 golden (crashed the worker in round 1/2)
   bucket2/4/8    batched bucket ladder, XLA module path (NO_PALLAS=1)
@@ -50,6 +51,8 @@ STEPS = [
                  "twin_heli_MDC1-AS1_10", "twin_heli_linc01237_114",
                  "underscore", "--chunk", "128"], 1800, {}),
     ("loci", [sys.executable, "scripts/validate_loci.py"], 1800, {}),
+    ("chain_scale", [sys.executable, "scripts/validate_chain_scale.py",
+                     "30000", "--engine", "jax"], 2400, {}),
     ("twin1000", [sys.executable, "scripts/validate_twin1000.py"], 2400, {}),
     ("ari", [sys.executable, "scripts/validate_goldens.py", "--cases",
              "twin_ari_chrX_146823507_146823598", "--chunk", "128"], 2400, {}),

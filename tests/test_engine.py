@@ -123,8 +123,12 @@ def test_engines_agree_on_iupac_alphabet():
         assert oc == nc == jc, (trial, oc, nc, jc)
 
 
-@pytest.mark.parametrize("n,flank_l,flank_r", [(40, 2, 2), (60, 4, 3), (80, 4, 4)])
-def test_engines_match_oracle_midscale(n, flank_l, flank_r):
+# Seeds are picked so the planted pair stays in the low-optimal-cost regime
+# (1040 drew a cost-37 case whose Dijkstra frontier alone took ~35 s).
+@pytest.mark.parametrize(
+    "n,flank_l,flank_r,seed", [(40, 2, 2, 2040), (60, 4, 3, 1060), (80, 4, 4, 1080)]
+)
+def test_engines_match_oracle_midscale(n, flank_l, flank_r, seed):
     """Oracle-vs-engines equality at n=40-80 with flanks up to 4 and
     adversarially narrow drift/anti-gap windows (VERDICT r1 item 9): the
     regime where the dense engines' live-window clipping actually binds.
@@ -134,7 +138,7 @@ def test_engines_match_oracle_midscale(n, flank_l, flank_r):
 
     from util import binding_window_config, related_pair_scaled
 
-    rng = np.random.default_rng(1000 + n)
+    rng = np.random.default_rng(seed)
     al = get_alphabet("dna")
     for trial in range(1):
         cfg = binding_window_config(rng, al, flank_l, flank_r)

@@ -214,9 +214,18 @@ class JaxPrimarySweep:
         if not _pallas_default():
             return False
         # whole-state-resident kernel: stay well inside VMEM (seeds + out
-        # are each (n_rows, F*3, Wq); subs add 3 more planes)
+        # are each (n_rows, F*3, Wq); subs add 3 more planes).  The limit
+        # is set from device evidence, not the physical 128 MB: a runtime
+        # VMEM overflow CRASHES the TPU worker (wedging the chip), it does
+        # not error — 460x502 flankless (~9.2 MB here) is validated good,
+        # 1001x1001 (~40 MB) kernel-faulted the worker (twin_1000_5ts,
+        # TPU_SESSION_LOG).  Mosaic double-buffers in/out, so the true
+        # footprint is a small multiple of this estimate.
+        import os
+
+        cap_mb = int(os.environ.get("TSALIGN_PALLAS_SWEEP_MAX_MB", "16"))
         bytes_needed = 4 * (self.n_r + 1) * (self.n_q + 1) * (6 * self.F + 4)
-        return bytes_needed <= 48 * 2**20
+        return bytes_needed <= cap_mb * 2**20
 
 
 @partial(jax.jit, static_argnames=("L", "R", "climb"))

@@ -3,9 +3,9 @@ hardest shipped case, twin_heli_MDC1-AS1_10 (493/419 bp, 2 TSMs), which the
 reference solves in 69.62 s single-core (test_files/twin_heli_MDC1-AS1_10.toml
 statistics block; BASELINE.md).
 
-Prints the headline JSON line {"metric", "value", "unit", "vs_baseline"}
-first, then a second line with the batched corpus throughput
-(pairs/sec through the full record pipeline + DP cells/sec on device).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+headline case, with the batched corpus throughput (pairs/sec through the
+full record pipeline + DP cells/sec on device) folded in as batched_* keys.
 
 Each measurement runs in a child process with a hard timeout and one retry:
 the TPU relay in this environment occasionally wedges on compile bursts, and
@@ -150,67 +150,43 @@ def _run_child(target, timeout0):
 
 
 def main():
+    """ONE JSON line: the heli headline metric, with the batched corpus
+    throughput folded in as extra keys.  The driver records the LAST JSON
+    line, so the headline must be the only line — a throughput failure must
+    degrade to an annotation, never mask the headline (round-2 lesson:
+    BENCH_r02 recorded null because a second line failed)."""
+    out = {
+        "metric": "twin_heli_MDC1-AS1_10_ts_align_wall",
+        "value": None,
+        "unit": "s",
+        "vs_baseline": None,
+    }
     result = _run_child(_measure, 1500)
     if result is None:
-        print(
-            json.dumps(
-                {
-                    "metric": "twin_heli_MDC1-AS1_10_ts_align_wall",
-                    "value": None,
-                    "unit": "s",
-                    "vs_baseline": None,
-                    "error": "TPU unavailable/wedged after retries",
-                }
-            )
-        )
+        out["error"] = "TPU unavailable/wedged after retries"
     else:
         wall = result["wall"]
-        print(
-            json.dumps(
-                {
-                    "metric": "twin_heli_MDC1-AS1_10_ts_align_wall",
-                    "value": round(wall, 4),
-                    "unit": "s",
-                    "vs_baseline": round(BASELINE_SECONDS / wall, 2),
-                    "cost": result["cost"],
-                    "cost_ok": result["cost"] <= GOLDEN_COST,
-                }
-            ),
-            flush=True,
+        out.update(
+            value=round(wall, 4),
+            vs_baseline=round(BASELINE_SECONDS / wall, 2),
+            cost=result["cost"],
+            cost_ok=result["cost"] <= GOLDEN_COST,
         )
 
-    tp = _run_child(_measure_throughput, 1500)
+    # Batched corpus throughput (pairs/sec through the full record pipeline
+    # + DP cells/sec on device, BASELINE.md metrics).  No shipped reference
+    # corpus number exists, so no vs_baseline for these keys.
+    tp = _run_child(_measure_throughput, 1800)
     if tp is None:
-        print(
-            json.dumps(
-                {
-                    "metric": "batched_pairs_throughput",
-                    "value": None,
-                    "unit": "pairs/s",
-                    "vs_baseline": None,
-                    "error": "TPU unavailable/wedged after retries",
-                }
-            )
-        )
+        out["batched_error"] = "TPU unavailable/wedged after retries"
     else:
-        # Reference point: single-core, the statistics blocks put simple
-        # 100-200 bp no-TS cases at ~0.04-0.07 s but full TS search on
-        # them is the 69 s class; there is no shipped corpus number, so
-        # vs_baseline is omitted for this metric.
-        print(
-            json.dumps(
-                {
-                    "metric": "batched_pairs_throughput",
-                    "value": round(tp["pairs_per_sec"], 3),
-                    "unit": "pairs/s",
-                    "vs_baseline": None,
-                    "pairs": tp["pairs"],
-                    "cells_per_sec": int(tp["cells_per_sec"]),
-                    "all_found": tp["all_found"],
-                }
-            ),
-            flush=True,
+        out.update(
+            batched_pairs=tp["pairs"],
+            batched_pairs_per_sec=round(tp["pairs_per_sec"], 3),
+            batched_cells_per_sec=int(tp["cells_per_sec"]),
+            batched_all_found=tp["all_found"],
         )
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -62,6 +62,7 @@ from .ops.jax_modules import JaxKindModule, _kind_all_chunks, _same_module_jit
 from .ops.jaxcommon import (
     DEV_INF,
     from_device_costs,
+    sync_point,
     to_device_costs,
     validate_magnitudes,
 )
@@ -515,6 +516,11 @@ class JaxAligner:
                     sel = self._launch_compact(
                         km, get_a_dev(), e_live, Kb, B_pre
                     )
+                    sync_point(
+                        sel,
+                        f"kind pk={spec.pk} sk={spec.sk} dk={spec.dk} "
+                        f"pallas={km._static.use_pallas} compact",
+                    )
                     launched.append(("compact", km, sel, e_live, t_kind))
                     continue
                 bases = []
@@ -565,6 +571,11 @@ class JaxAligner:
                 Rk_pad = _kind_all_chunks(
                     A_dev, Rk_pad, fixed, e_bases, B_pre, st=km._static, PAD=PAD
                 )
+            sync_point(
+                Rk_pad,
+                f"kind pk={spec.pk} sk={spec.sk} dk={spec.dk} "
+                f"pallas={km._static.use_pallas} chunked",
+            )
             launched.append(("chunked", km, Rk_pad, (PAD, bases), t_kind))
         # Device-side fold: the per-kind (n_p+1, width) slabs stay on device
         # and min into one shared (n_r+1, n_q+1) accumulator that STAYS on
@@ -583,6 +594,7 @@ class JaxAligner:
                 n_anti=spec.n_anti,
                 transpose=spec.pk == 1,
             )
+            sync_point(R_dev, f"fold pk={spec.pk} sk={spec.sk} dk={spec.dk}")
             if logger.isEnabledFor(logging.DEBUG):
                 desc = (
                     f"compact {len(extra)} cols"
@@ -659,7 +671,9 @@ class JaxAligner:
 
         Returns (entry_cells int32 (n_r+1, n_q+1), target_cost host int,
         M_host or None)."""
-        M_dev = self._get_sweep(climb).sweep(jnp.asarray(seeds_host))
+        M_dev = sync_point(
+            self._get_sweep(climb).sweep(jnp.asarray(seeds_host)), "sweep"
+        )
         F = self.config.left_flank_length + self.config.right_flank_length + 1
         self.cells_swept = getattr(self, "cells_swept", 0) + F * 3 * (
             (self.n_r + 1) * (self.n_q + 1)

@@ -38,7 +38,6 @@ from ..config import TemplateSwitchConfig
 from ..costs import INF, CostFunction
 from .jaxcommon import (
     DEV_INF,
-    build_sparse_table,
     minplus_scan,
     sat_add,
     sliding_min_start,
@@ -151,8 +150,10 @@ class JaxKindModule:
         chunk: int = 64,
         allow_secondary_deletions: bool = True,
         lut_cache: Optional[dict] = None,
+        batch: int = 1,
     ):
         self.spec = spec
+        self.batch = max(int(batch), 1)
         self.chunk = min(chunk, spec.n_anti + 1)
         # Clamp the e-chunk so the Pallas module kernel's VMEM working set
         # (3 gap planes x 8 rows + scan temporaries + the LUT) fits.  The
@@ -173,7 +174,11 @@ class JaxKindModule:
             scan_budget = (
                 int(os.environ.get("TSALIGN_SCAN_BUDGET_MB", "512")) * 2**20
             )
-            carry = 12 * (spec.n_p + 1) * (spec.r_hi - spec.r_lo + 1)
+            # The vmapped batch dispatch multiplies every live buffer by the
+            # batch size, so the working-set clamp must include it.
+            carry = (
+                12 * (spec.n_p + 1) * (spec.r_hi - spec.r_lo + 1) * self.batch
+            )
             while self.chunk > 8 and carry * self.chunk > scan_budget:
                 self.chunk //= 2
         self.allow_sdel = allow_secondary_deletions
@@ -320,6 +325,24 @@ class JaxKindModule:
                     )
                 )
         self.plans = tuple(plans)
+
+        # Assembly scratch clamp (XLA path, ALL kinds — the same-seq kinds
+        # have no module-scan clamp, and their assembly is the dominant
+        # working set).  The banded/padded per-row-width machinery
+        # materializes K = floor(log2(w))+1 sparse-table levels of the
+        # (n_p+1, C, S+w-1) window source per segment plus ~3 more C-sized
+        # slabs; a dispatch whose working set approaches the worker's free
+        # HBM headroom crashes the worker outright (not a clean OOM) once
+        # any device->host transfer has staged buffers.  Bisected in round 3
+        # on the batched throughput bucket: C=64 faults after any transfer,
+        # C=16 runs (scripts/bisect_batch_crash.py); twin_1000's C=128
+        # single-pair assembly (~2 GB) is the same class.
+        w_max = max((sg[1] - sg[0] + 1 for sg in segs), default=1)
+        K_lv = max(1, int(np.floor(np.log2(max(w_max, 1)))) + 1)
+        a_budget = int(os.environ.get("TSALIGN_ASM_BUDGET_MB", "128")) * 2**20
+        per_c = 4 * (K_lv + 3) * (n_p + 1) * (S + w_max - 1) * self.batch
+        while self.chunk > 8 and per_c * self.chunk > a_budget:
+            self.chunk //= 2
 
         padded = spec.bucketed
         self._static = _Static(
@@ -532,7 +555,6 @@ def _assembly(B, A_chunk, fixed, st):
                 U, sat_add(val, np.int32(min(plan.cost, int(DEV_INF))))
             )
             continue
-        band = _band_correction(st, plan, D3pad, n_p, C)
         t0 = OFF + st.s_lo - plan.b  # start-anchored window index at s_lo
         # Windows are needed only at t0 .. t0 + S - 1; their source values
         # span [t0, t0 + S + w - 1), in-bounds by construction of OFF/LL.
@@ -540,10 +562,9 @@ def _assembly(B, A_chunk, fixed, st):
         # instead of LL wide.
         src = jax.lax.slice(D3pad, (0, 0, t0), (n_p + 1, C, t0 + S + w - 1))
         val = sliding_min_start(src, w, axis=-1)[..., :S]
-        if band is not None:
-            b0, b1, bq = band
-            te0 = OFF + st.s_lo - plan.a
-            bval = jax.lax.slice(bq, (0, 0, te0), (b1 - b0 + 1, C, te0 + S))
+        b0, b1 = plan.band_rows
+        if b0 <= b1:
+            bval = _band_masked(st, plan, D3pad, b0, b1, C)
             val = jax.lax.dynamic_update_slice(val, bval, (b0, 0, 0))
         if plan.positive:
             kill = row_idx[:, None, None] > plan.kill_from - 1
@@ -587,85 +608,61 @@ def _assembly_positive_traced(st, plan: _SegPlan, D3pad, n_p: int, C: int, ah):
     S = st.S
     t0 = st.OFF + st.s_lo - plan.b
     src = jax.lax.slice(D3pad, (0, 0, t0), (n_p + 1, C, t0 + S + w - 1))
-    M = jnp.stack(build_sparse_table(src, w))  # (K, n_p+1, C, S+w-1)
-    rows = jnp.arange(n_p + 1, dtype=jnp.int32)
-    w_row = jnp.clip(ah - plan.a - rows + 1, 1, w)
-    k_r = jnp.floor(jnp.log2(w_row.astype(jnp.float32))).astype(jnp.int32)
-    pow_r = jnp.left_shift(jnp.int32(1), k_r)
-    Msel = M[k_r, rows]  # (n_p+1, C, S+w-1) per-row level
-    t_end = jnp.arange(S, dtype=jnp.int32) + (w - 1)
-    i1 = t_end[None, :] - w_row[:, None] + 1  # (n_p+1, S), always in range
-    i2 = t_end[None, :] - pow_r[:, None] + 1
-    v1 = jnp.take_along_axis(Msel, i1[:, None, :], axis=-1)
-    v2 = jnp.take_along_axis(Msel, i2[:, None, :], axis=-1)
-    val = jnp.minimum(v1, v2)
-    kill = rows[:, None, None] > ah - plan.a
-    return jnp.where(kill, DEV_INF, val)
+    # Row p2's feasible window over the w offsets is [delta(p2), w-1] with
+    # delta = clip(p2 - c0, 0, w) (delta == w kills the row), end-anchored.
+    # Build it as w masked shifted elementwise mins (fori accumulator):
+    # gather-free and O(1) live temps.  The original per-row-level sparse
+    # tables used take_along_axis gathers whose dispatch FAULTS this
+    # environment's TPU worker at the dk=1 widths once any device->host
+    # transfer has staged buffers (round-3 bisect, BISECT_PLANS=pos in
+    # scripts/bisect_batch_crash.py); the masked-shift form avoids the op
+    # class entirely and its temp memory is 3 slabs instead of ~20.
+    rows = jnp.arange(n_p + 1, dtype=jnp.int32)[:, None, None]
+    c0 = ah - np.int32(plan.a) + np.int32(1 - w)
+    delta = jnp.clip(rows - c0, 0, w)  # (n_p+1, 1, 1)
+
+    def shifted(u):
+        sh = jax.lax.dynamic_slice(src, (0, 0, u), (n_p + 1, C, S))
+        return jnp.where(u >= delta, sh, DEV_INF)
+
+    # Carry initialized from the u=0 term (not jnp.full) so it inherits the
+    # sharding-varying type under shard_map (scan carry types must match).
+    return jax.lax.fori_loop(1, w, lambda u, v: jnp.minimum(v, shifted(u)), shifted(0))
 
 
-def _band_correction(st, plan: _SegPlan, D3pad, n_p: int, C: int):
-    """Per-row-width window minima for the feasibility boundary band.
+def _band_masked(st, plan: _SegPlan, D3pad, b0: int, b1: int, C: int):
+    """Per-row-width window minima for the feasibility boundary band rows
+    [b0, b1], as w masked shifted elementwise mins over the band slab
+    (gather-free; see _assembly_positive_traced for why gathers are banned
+    from this pipeline).
 
-    Positive segments: window ends at t_end = s - a with static per-row width
-    w_row = Ah - a - p2 + 1.  Negative segments: window starts at s - b with
-    width w_row = p2 + b - Al + 1; we convert to end-anchored form
-    (end = start + w_seg - 1 is NOT per-row; instead query start-anchored at
-    index t_end - (w_seg - 1) ... ) — both cases are expressed end-anchored
-    at t_end = s - a for positive, start-anchored at t = s - b for negative,
-    which the caller indexes with the matching anchor; here we return arrays
-    indexed by the POSITIVE anchor t_end for positive plans and rebuild
-    negative plans to also be indexed by t_end = s - a via their fixed
-    start. For negative plans the start t = s - b is used directly: we store
-    start-anchored values shifted so indexing by t_end = s - a lands on the
-    right entry is unnecessary — the caller uses t_end for positive and we
-    pre-shift negative arrays by (b - a) so one anchor works for both.
-    """
-    b0, b1 = plan.band_rows
-    if b0 > b1:
-        return None
-    rows = np.arange(b0, b1 + 1)
+    With src sliced at the start anchor t0 = OFF + s_lo - b, offset u of
+    output position s reads window index t = (s - b) + u, i.e. the ldiff
+    value x = b - u.  Feasibility of x for row p2:
+      positive plans: p2 + x <= Ah  <=>  u >= p2 - (Ah - b)
+      negative plans: p2 + x >= Al  <=>  u <= p2 + b - Al
+    (anti-gap walk feasibility, context.rs:662-707 reduced per the module
+    decomposition).  Returns the (b1-b0+1, C, S) band values; rows outside
+    their feasible range saturate to DEV_INF via the mask."""
+    w = plan.b - plan.a + 1
+    S = st.S
+    t0 = st.OFF + st.s_lo - plan.b
+    nb = b1 - b0 + 1
+    src = jax.lax.slice(D3pad, (b0, 0, t0), (b1 + 1, C, t0 + S + w - 1))
+    rows = jnp.arange(b0, b1 + 1, dtype=jnp.int32)[:, None, None]
     if plan.positive:
-        widths = st.anti_hi - plan.a - rows + 1
+        lo_u = jnp.clip(rows - np.int32(st.anti_hi - plan.b), 0, w)
+        mask = lambda u: u >= lo_u
     else:
-        widths = rows + plan.b - st.anti_lo + 1
-    widths = np.clip(widths, 1, plan.b - plan.a + 1)
-    slab = jax.lax.dynamic_slice(
-        D3pad, (b0, 0, 0), (b1 - b0 + 1, C, D3pad.shape[-1])
-    )
-    tables = build_sparse_table(slab, int(widths.max()))
-    ks = np.floor(np.log2(widths)).astype(np.int32)
-    # window [t0, t0 + w): min(m_k[t0], m_k[t0 + w - 2^k])
-    M = jnp.stack(tables)  # (K, band, C, LL)
-    Msel = M[ks, np.arange(len(rows))]  # (band, C, LL)
-    LLax = D3pad.shape[-1]
-    # Index arrays are built from iota + small per-row constant vectors so
-    # only O(band) literals are baked into the program (large literal index
-    # matrices scale with the shapes and bloat compilation).
-    t = jax.lax.broadcasted_iota(jnp.int32, (len(rows), LLax), 1)
-    widths_v = jnp.asarray(widths.astype(np.int32))[:, None]
-    pow_v = jnp.asarray((1 << ks).astype(np.int32))[:, None]
-    if plan.positive:
-        # end-anchored at t_end: window [t_end - w + 1, t_end]
-        i1 = t - widths_v + 1
-        i2 = t - pow_v + 1
-    else:
-        # start-anchored at t(= s - b): window [t, t + w)
-        i1 = t
-        i2 = t + widths_v - pow_v
-    ok = (i1 >= 0) & (i2 >= 0) & (i2 < LLax) & (i1 < LLax)
-    i1c = jnp.clip(i1, 0, LLax - 1)
-    i2c = jnp.clip(i2, 0, LLax - 1)
-    v1 = jnp.take_along_axis(Msel, i1c[:, None, :], axis=-1)
-    v2 = jnp.take_along_axis(Msel, i2c[:, None, :], axis=-1)
-    bq = jnp.where(ok[:, None, :], jnp.minimum(v1, v2), DEV_INF)
-    if not plan.positive:
-        # caller indexes all bands at t_end = s - a; shift start-anchored
-        # values right by (b - a) so bq[t_end] == value at start s - b.
-        shift = plan.b - plan.a
-        pad = jnp.full((bq.shape[0], C, shift), DEV_INF, bq.dtype) if shift else None
-        if shift:
-            bq = jnp.concatenate([pad, bq[..., : LLax - shift]], axis=-1)
-    return (b0, b1, bq)
+        hi_u = jnp.clip(rows + np.int32(plan.b - st.anti_lo), -1, w - 1)
+        mask = lambda u: u <= hi_u
+
+    def shifted(u):
+        sh = jax.lax.dynamic_slice(src, (0, 0, u), (nb, C, S))
+        return jnp.where(mask(u), sh, DEV_INF)
+
+    # u=0 init: see _assembly_positive_traced (shard_map carry vma types).
+    return jax.lax.fori_loop(1, w, lambda u, v: jnp.minimum(v, shifted(u)), shifted(0))
 
 
 @partial(jax.jit, static_argnames=("st",))

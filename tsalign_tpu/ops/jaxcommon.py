@@ -15,11 +15,27 @@ log-depth analog of the prefix-sum trick used by the numpy engine
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..costs import INF
+
+# TSALIGN_SYNC_DEBUG=1: block after every device dispatch and log it, so a
+# TPU worker fault is attributed to the exact program that raised it instead
+# of surfacing at the next transfer (dispatch is async).  Debug-only: the
+# syncs serialize the pipelined kind launches.
+SYNC_DEBUG = bool(os.environ.get("TSALIGN_SYNC_DEBUG"))
+
+
+def sync_point(x, what: str):
+    """Block on `x` and log when TSALIGN_SYNC_DEBUG is set; identity otherwise."""
+    if SYNC_DEBUG:
+        jax.block_until_ready(x)
+        print(f"[sync] ok: {what}", flush=True)
+    return x
 
 DEV_INF = np.int32(2**30 - 1)
 # Values at or above this are treated as infinite when mapping back to host.

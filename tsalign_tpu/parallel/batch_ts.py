@@ -36,6 +36,7 @@ from ..ops.jax_modules import JaxKindModule, _kind_all_chunks, _same_module_jit
 from ..ops.jaxcommon import (
     DEV_INF,
     from_device_costs,
+    sync_point,
     to_device_costs,
     validate_magnitudes,
 )
@@ -47,16 +48,20 @@ from ..ops.tsm_modules import make_kind_spec
 def _summ_batch_jit(M_b, lr, lq):
     """Per-pair sweep summary (entry layer + target-cell values at each
     pair's real lengths) computed on device — the full stacked fields stay
-    off the relay unless keep_fields needs them."""
+    off the relay unless keep_fields needs them.
 
-    def one(M_i, lr_i, lq_i):
-        E = jnp.min(M_i[-1], axis=0)
-        tv = jax.lax.dynamic_slice(
-            M_i, (0, 0, lr_i, lq_i), (M_i.shape[0], M_i.shape[1], 1, 1)
-        ).reshape(-1)
-        return E, tv
-
-    return jax.vmap(one)(M_b, lr, lq)
+    The target values are extracted with a masked reduction rather than a
+    vmapped dynamic_slice at the traced (lr_i, lq_i): the slice lowers to a
+    batched gather, and running THAT program faults this environment's TPU
+    worker on the next large dispatch (bisected in round 3 — the batched
+    bucket "kernel fault" crash; scripts/bisect_batch_crash.py)."""
+    B, F, G, R, Q = M_b.shape
+    E = jnp.min(M_b[:, -1], axis=1)
+    rmask = jax.lax.broadcasted_iota(jnp.int32, (B, R), 1) == lr[:, None]
+    qmask = jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1) == lq[:, None]
+    m = rmask[:, None, None, :, None] & qmask[:, None, None, None, :]
+    tv = jnp.min(jnp.where(m, M_b, DEV_INF), axis=(3, 4))
+    return E, tv.reshape(B, F * G)
 
 
 @jax.jit
@@ -259,6 +264,11 @@ class BatchedTSAligner:
                 B_pre = jax.vmap(lambda f: _same_module_jit(f, st=km0._static))(
                     fixed_b
                 )
+                sync_point(
+                    B_pre,
+                    f"batch B_pre pk={km0.spec.pk} sk={km0.spec.sk} "
+                    f"dk={km0.spec.dk}",
+                )
             else:
                 B_pre = jnp.zeros((self.n_pairs, 1, 1), jnp.int32)
             n_e = km0.spec.n_anti + 1
@@ -289,11 +299,21 @@ class BatchedTSAligner:
             if shard is not None:
                 A_dev, Rk_pad0 = shard(A_dev), shard(Rk_pad0)
             def step(a, rk, f, bp, _km=km0, _PAD=PAD, _eb=e_bases):
-                return jax.vmap(
-                    lambda ai, rki, fi, bpi: _kind_all_chunks(
-                        ai, rki, fi, _eb, bpi, st=_km._static, PAD=_PAD
-                    )
-                )(a, rk, f, bp)
+                # lax.map (scan over pairs), NOT vmap: the vmapped assembly
+                # multiplies the dispatch's temp memory by the batch size
+                # (memory_analysis: 0.5-0.7 GB at B=8), and dispatches that
+                # large fault this environment's TPU worker once any
+                # device->host transfer has run (round-3 bisect,
+                # scripts/bisect_batch_crash.py).  Per-pair serialization
+                # keeps the temp at the single-pair engine's level; the
+                # per-pair assembly is already wide enough to fill the chip.
+                return jax.lax.map(
+                    lambda args: _kind_all_chunks(
+                        args[0], args[1], args[2], _eb, args[3],
+                        st=_km._static, PAD=_PAD,
+                    ),
+                    (a, rk, f, bp),
+                )
 
             try:
                 Rk_pad = step(A_dev, Rk_pad0, fixed_b, B_pre)
@@ -305,6 +325,11 @@ class BatchedTSAligner:
 
                 _module_pallas_fallback(km0, e)
                 Rk_pad = step(A_dev, Rk_pad0, fixed_b, B_pre)
+            sync_point(
+                Rk_pad,
+                f"batch kind pk={spec.pk} sk={spec.sk} dk={spec.dk} "
+                f"pallas={km0._static.use_pallas}",
+            )
             n_reals = jnp.asarray(
                 [lq if spec.pk == 0 else lr for lr, lq in self.real],
                 jnp.int32,
@@ -328,6 +353,7 @@ class BatchedTSAligner:
                 )
             )
             R_dev = fold(R_dev, Rk_pad, n_reals)
+            sync_point(R_dev, f"batch fold pk={spec.pk}")
         return R_dev
 
     def align(self, mesh=None) -> List[JaxEngineResult]:
@@ -400,7 +426,7 @@ class BatchedTSAligner:
             return np.asarray(E_b), costs
 
         logger.debug("batch phase: initial sweep (B=%d nr=%d nq=%d)", B, self.nr, self.nq)
-        M_dev = sweep_v(seeds, arrays_b)
+        M_dev = sync_point(sweep_v(seeds, arrays_b), "batch sweep round 0")
         E_host, best = summarize(M_dev)
         logger.debug("batch phase: initial sweep done")
         results = [JaxEngineResult(cost=INF, rounds=1) for _ in range(B)]
@@ -443,9 +469,13 @@ class BatchedTSAligner:
                         results[i].reentry_fields.append(
                             from_device_costs(R_host[i])
                         )
-            sk_dev = _seeds_batch_jit(root_dev, R_dev)
+            sk_dev = sync_point(
+                _seeds_batch_jit(root_dev, R_dev), f"batch seeds round {k}"
+            )
             logger.debug("batch phase: re-sweep (round %d)", k)
-            M_next_dev = sweep_v(sk_dev, arrays_b)
+            M_next_dev = sync_point(
+                sweep_v(sk_dev, arrays_b), f"batch sweep round {k}"
+            )
             E_next, t_costs = summarize(M_next_dev)
             new_best = [min(a, b) for a, b in zip(best, t_costs)]
             if self.keep_fields:

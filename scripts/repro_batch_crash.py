@@ -38,6 +38,11 @@ def main():
     print(f"bucket nr={bt.nr} nq={bt.nq}", flush=True)
     res = bt.align()
     print("costs:", [r.cost for r in res], f"{time.monotonic()-t0:.1f}s", flush=True)
+    # warm in-process repeat: jit caches hot, isolates execute time from
+    # (remote) compile time
+    t0 = time.monotonic()
+    res = BatchedTSAligner(cfg, pairs).align()
+    print("warm costs:", [r.cost for r in res], f"{time.monotonic()-t0:.1f}s", flush=True)
 
 
 if __name__ == "__main__":

@@ -609,25 +609,37 @@ def _assembly_positive_traced(st, plan: _SegPlan, D3pad, n_p: int, C: int, ah):
     t0 = st.OFF + st.s_lo - plan.b
     src = jax.lax.slice(D3pad, (0, 0, t0), (n_p + 1, C, t0 + S + w - 1))
     # Row p2's feasible window over the w offsets is [delta(p2), w-1] with
-    # delta = clip(p2 - c0, 0, w) (delta == w kills the row), end-anchored.
-    # Build it as w masked shifted elementwise mins (fori accumulator):
-    # gather-free and O(1) live temps.  The original per-row-level sparse
+    # delta = clip(p2 - (ah - b), 0, w) (delta == w kills the row),
+    # end-anchored.  Rows at delta == 0 (everything up to the boundary band)
+    # take the plain full-window sliding min; the w-1 band rows starting at
+    # the TRACED offset b0 = ah - b + 1 are patched with w masked shifted
+    # elementwise mins over the band slab (fori accumulator, carry seeded
+    # from the u=0 term so shard_map vma types match); rows past ah - a are
+    # killed.  Entirely gather-free: the original per-row-level sparse
     # tables used take_along_axis gathers whose dispatch FAULTS this
     # environment's TPU worker at the dk=1 widths once any device->host
     # transfer has staged buffers (round-3 bisect, BISECT_PLANS=pos in
-    # scripts/bisect_batch_crash.py); the masked-shift form avoids the op
-    # class entirely and its temp memory is 3 slabs instead of ~20.
+    # scripts/bisect_batch_crash.py).
     rows = jnp.arange(n_p + 1, dtype=jnp.int32)[:, None, None]
-    c0 = ah - np.int32(plan.a) + np.int32(1 - w)
-    delta = jnp.clip(rows - c0, 0, w)  # (n_p+1, 1, 1)
+    val = sliding_min_start(src, w, axis=-1)[..., :S]
+    nb = min(w - 1, n_p + 1)
+    if nb > 0:
+        b0 = jnp.clip(
+            ah - np.int32(plan.b) + 1, 0, np.int32(n_p + 1 - nb)
+        ).astype(jnp.int32)
+        band_src = jax.lax.dynamic_slice(src, (b0, 0, 0), (nb, C, S + w - 1))
+        brows = b0 + jnp.arange(nb, dtype=jnp.int32)[:, None, None]
+        delta = jnp.clip(brows - (ah - np.int32(plan.b)), 0, w)
 
-    def shifted(u):
-        sh = jax.lax.dynamic_slice(src, (0, 0, u), (n_p + 1, C, S))
-        return jnp.where(u >= delta, sh, DEV_INF)
+        def shifted(u):
+            sh = jax.lax.dynamic_slice(band_src, (0, 0, u), (nb, C, S))
+            return jnp.where(u >= delta, sh, DEV_INF)
 
-    # Carry initialized from the u=0 term (not jnp.full) so it inherits the
-    # sharding-varying type under shard_map (scan carry types must match).
-    return jax.lax.fori_loop(1, w, lambda u, v: jnp.minimum(v, shifted(u)), shifted(0))
+        bval = jax.lax.fori_loop(
+            1, w, lambda u, v: jnp.minimum(v, shifted(u)), shifted(0)
+        )
+        val = jax.lax.dynamic_update_slice(val, bval, (b0, 0, 0))
+    return jnp.where(rows > ah - np.int32(plan.a), DEV_INF, val)
 
 
 def _band_masked(st, plan: _SegPlan, D3pad, b0: int, b1: int, C: int):

@@ -630,14 +630,7 @@ def _assembly_positive_traced(st, plan: _SegPlan, D3pad, n_p: int, C: int, ah):
         band_src = jax.lax.dynamic_slice(src, (b0, 0, 0), (nb, C, S + w - 1))
         brows = b0 + jnp.arange(nb, dtype=jnp.int32)[:, None, None]
         delta = jnp.clip(brows - (ah - np.int32(plan.b)), 0, w)
-
-        def shifted(u):
-            sh = jax.lax.dynamic_slice(band_src, (0, 0, u), (nb, C, S))
-            return jnp.where(u >= delta, sh, DEV_INF)
-
-        bval = jax.lax.fori_loop(
-            1, w, lambda u, v: jnp.minimum(v, shifted(u)), shifted(0)
-        )
+        bval = _masked_window_min(band_src, delta, w, nb, C, S)
         val = jax.lax.dynamic_update_slice(val, bval, (b0, 0, 0))
     return jnp.where(rows > ah - np.int32(plan.a), DEV_INF, val)
 
@@ -664,17 +657,45 @@ def _band_masked(st, plan: _SegPlan, D3pad, b0: int, b1: int, C: int):
     rows = jnp.arange(b0, b1 + 1, dtype=jnp.int32)[:, None, None]
     if plan.positive:
         lo_u = jnp.clip(rows - np.int32(st.anti_hi - plan.b), 0, w)
-        mask = lambda u: u >= lo_u
-    else:
-        hi_u = jnp.clip(rows + np.int32(plan.b - st.anti_lo), -1, w - 1)
-        mask = lambda u: u <= hi_u
+        return _masked_window_min(src, lo_u, w, nb, C, S)
+    hi_u = jnp.clip(rows + np.int32(plan.b - st.anti_lo), -1, w - 1)
+    return _masked_window_min(src, None, w, nb, C, S, hi_u=hi_u)
 
-    def shifted(u):
-        sh = jax.lax.dynamic_slice(src, (0, 0, u), (nb, C, S))
-        return jnp.where(mask(u), sh, DEV_INF)
 
-    # u=0 init: see _assembly_positive_traced (shard_map carry vma types).
-    return jax.lax.fori_loop(1, w, lambda u, v: jnp.minimum(v, shifted(u)), shifted(0))
+def _masked_window_min(src, lo_u, w, nb, C, S, hi_u=None):
+    """min over window offsets u in [lo_u(row), w-1] (or [0, hi_u(row)])
+    of src[..., s+u], as masked shifted elementwise mins — gather-free (see
+    _assembly_positive_traced).  The u loop runs in blocks of UB: one
+    dynamic slice per block plus UB static sub-slices, so the sequential
+    fori depth is w/UB instead of w (the per-step work here is tiny — the
+    loop was launch-latency-bound inside the chunk scans)."""
+    UB = 8
+
+    def masked(uu, sh):
+        ok = uu >= lo_u if hi_u is None else uu <= hi_u
+        return jnp.where(ok, sh, DEV_INF)
+
+    def term(u):
+        return masked(u, jax.lax.dynamic_slice(src, (0, 0, u), (nb, C, S)))
+
+    def block(u0, v):
+        chunk = jax.lax.dynamic_slice(src, (0, 0, u0), (nb, C, S + UB - 1))
+        for db in range(UB):
+            sh = jax.lax.slice(chunk, (0, 0, db), (nb, C, db + S))
+            v = jnp.minimum(v, masked(u0 + db, sh))
+        return v
+
+    nfull = max((w - 1) // UB, 0)  # UB-blocks covering u = 1 .. nfull*UB
+    v = term(0)
+    u = 1
+    if nfull:
+        v = jax.lax.fori_loop(
+            0, nfull, lambda i, vv: block(1 + i * UB, vv), v
+        )
+        u = 1 + nfull * UB
+    for ur in range(u, w):
+        v = jnp.minimum(v, term(ur))
+    return v
 
 
 @partial(jax.jit, static_argnames=("st",))

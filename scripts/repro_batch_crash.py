@@ -8,11 +8,20 @@ crashing phase is identifiable.  Usage:
   TSALIGN_NO_PALLAS=1 python scripts/repro_batch_crash.py
 """
 
+import logging
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("BISECT_LOG"):
+    logging.basicConfig(
+        level=logging.DEBUG,
+        format="%(asctime)s %(name)s %(message)s",
+        stream=sys.stdout,
+    )
+    logging.getLogger("jax").setLevel(logging.WARNING)
 
 import bench  # noqa: E402
 from tsalign_tpu.alphabet import get_alphabet  # noqa: E402

@@ -512,14 +512,22 @@ def _assembly(B, A_chunk, fixed, st):
         D3 = jnp.moveaxis(B, 0, -1)  # (n_p+1, C, L+1)
     D3 = sat_add(D3, fixed["length_vec"][None, None, :])
 
-    # shear: D3s[p2, e, l] = D3[p2 - l, e, l]
-    p2 = jnp.arange(n_p + 1)[:, None, None]
-    lax_l = jnp.arange(L + 1)[None, None, :]
-    p1_idx = p2 - lax_l
-    D3s = jnp.take_along_axis(
-        D3, jnp.clip(p1_idx, 0, n_p), axis=0
+    # shear: D3s[p2, e, l] = D3[p2 - l, e, l], gather-free via the skew
+    # reshape (left INF pad, flatten, stride by R+L-1 — the same trick as
+    # the diagonal min-fold below; p2 - l < 0 lands in the pad).  The
+    # take_along_axis form of this shear faulted the TPU worker at
+    # n_p ~ 1100 once any device->host transfer had run (the ari golden;
+    # same dirty-state gather fault class as _assembly_positive_traced).
+    R = n_p + 1
+    Z = jnp.moveaxis(D3, 0, -1)  # (C, L+1, R)
+    Zpad = jnp.concatenate(
+        [jnp.full((C, L + 1, L), DEV_INF, jnp.int32), Z], axis=-1
     )
-    D3s = jnp.where(p1_idx >= 0, D3s, DEV_INF)
+    flat = Zpad.reshape(C, (L + 1) * (R + L))
+    V = flat[:, L : L + (L + 1) * (R + L - 1)].reshape(
+        C, L + 1, R + L - 1
+    )[:, :, :R]
+    D3s = jnp.transpose(V, (2, 0, 1))
 
     OFF, LL = st.OFF, st.LL
     D3pad = jnp.full((n_p + 1, C, LL), DEV_INF, jnp.int32)

@@ -33,8 +33,11 @@ SYNC_DEBUG = bool(os.environ.get("TSALIGN_SYNC_DEBUG"))
 def sync_point(x, what: str):
     """Block on `x` and log when TSALIGN_SYNC_DEBUG is set; identity otherwise."""
     if SYNC_DEBUG:
+        import time
+
+        t0 = time.monotonic()
         jax.block_until_ready(x)
-        print(f"[sync] ok: {what}", flush=True)
+        print(f"[sync] ok: {what} ({time.monotonic() - t0:.2f}s)", flush=True)
     return x
 
 DEV_INF = np.int32(2**30 - 1)

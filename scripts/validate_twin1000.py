@@ -24,7 +24,9 @@ def main():
     from tsalign_tpu.fasta import parse_pair_fasta_file
     from tsalign_tpu.jax_engine import JaxAligner
 
-    cases = sys.argv[1:] or CASES
+    args = [a for a in sys.argv[1:] if a != "--traceback"]
+    with_tb = "--traceback" in sys.argv[1:]
+    cases = args or CASES
     al = get_alphabet("dna-n")
     cfg = TemplateSwitchConfig.from_path(
         "/root/reference/sample_tsa_config/config.tsa", al
@@ -34,12 +36,25 @@ def main():
         ref = al.encode(r1.sequence.upper())
         qry = al.encode(r2.sequence.upper())
         t0 = time.time()
-        res = JaxAligner(cfg, ref, qry, chunk=128, keep_fields=False).align()
-        print(
-            f"{name}: n=({len(ref)},{len(qry)}) cost={res.cost} "
-            f"rounds={res.rounds} {time.time()-t0:.1f}s",
-            flush=True,
-        )
+        if with_tb:
+            from tsalign_tpu.pricing import price_alignment
+
+            ja = JaxAligner(cfg, ref, qry, chunk=128, keep_fields=True)
+            cost, alignment = ja.align_with_traceback()
+            priced = price_alignment(cfg, ref, qry, alignment)
+            print(
+                f"{name}: n=({len(ref)},{len(qry)}) cost={cost} "
+                f"repriced={priced} ok={priced == cost} "
+                f"rounds={ja.last_rounds} {time.time()-t0:.1f}s",
+                flush=True,
+            )
+        else:
+            res = JaxAligner(cfg, ref, qry, chunk=128, keep_fields=False).align()
+            print(
+                f"{name}: n=({len(ref)},{len(qry)}) cost={res.cost} "
+                f"rounds={res.rounds} {time.time()-t0:.1f}s",
+                flush=True,
+            )
     return 0
 
 

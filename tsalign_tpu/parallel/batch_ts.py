@@ -296,9 +296,29 @@ class BatchedTSAligner:
             width = PAD + n_anti + 1 + max(0, C - 1 + km0.s_hi)
             Rk_pad0 = jnp.full((B, spec.n_p + 1, width), DEV_INF, jnp.int32)
             A_dev = jnp.asarray(np.ascontiguousarray(A_mod))
+            # Per-pair chunk liveness: the pruned entry field marks dead
+            # cells DEV_INF, so a chunk whose column block has no finite
+            # entry contributes nothing — its base becomes the -1 sentinel
+            # (_kind_all_chunks skips it).  e_bases rides as a MAPPED
+            # operand so each pair scans only its own live chunks; after
+            # round 1 the pruned field is sparse and this is the batch
+            # analog of the single-pair chunk pruning.
+            eb_host = np.asarray(e_bases)
+            eb_b = np.full((B, eb_host.size), -1, np.int32)
+            n_e = n_anti + 1
+            finite = A_mod < int(DEV_INF) // 2  # (B, n_p+1, n_e[+pad])
+            for ci, eb in enumerate(eb_host):
+                s0 = int(eb)
+                live = finite[:, :, s0 : s0 + C].any(axis=(1, 2))
+                eb_b[live, ci] = s0
+            if (eb_b < 0).all():
+                continue  # no pair has a live entry for this kind
+            eb_dev = jnp.asarray(eb_b)
             if shard is not None:
                 A_dev, Rk_pad0 = shard(A_dev), shard(Rk_pad0)
-            def step(a, rk, f, bp, _km=km0, _PAD=PAD, _eb=e_bases):
+                eb_dev = shard(eb_dev)
+
+            def step(a, rk, f, bp, eb, _km=km0, _PAD=PAD):
                 # lax.map (scan over pairs), NOT vmap: the vmapped assembly
                 # multiplies the dispatch's temp memory by the batch size
                 # (memory_analysis: 0.5-0.7 GB at B=8), and dispatches that
@@ -309,14 +329,14 @@ class BatchedTSAligner:
                 # per-pair assembly is already wide enough to fill the chip.
                 return jax.lax.map(
                     lambda args: _kind_all_chunks(
-                        args[0], args[1], args[2], _eb, args[3],
+                        args[0], args[1], args[2], args[4], args[3],
                         st=_km._static, PAD=_PAD,
                     ),
-                    (a, rk, f, bp),
+                    (a, rk, f, bp, eb),
                 )
 
             try:
-                Rk_pad = step(A_dev, Rk_pad0, fixed_b, B_pre)
+                Rk_pad = step(A_dev, Rk_pad0, fixed_b, B_pre, eb_dev)
             except Exception as e:
                 # Mosaic compile rejection of the vmapped Pallas module
                 # kernel: downgrade this kind to the XLA scan path and retry
@@ -324,7 +344,7 @@ class BatchedTSAligner:
                 from ..jax_engine import _module_pallas_fallback
 
                 _module_pallas_fallback(km0, e)
-                Rk_pad = step(A_dev, Rk_pad0, fixed_b, B_pre)
+                Rk_pad = step(A_dev, Rk_pad0, fixed_b, B_pre, eb_dev)
             sync_point(
                 Rk_pad,
                 f"batch kind pk={spec.pk} sk={spec.sk} dk={spec.dk} "
@@ -573,6 +593,27 @@ def align_pairs(
 
     al = config.alphabet
     enc = [(al.encode(r.upper()), al.encode(q.upper())) for r, q in pairs]
+    # Multi-bucket grouping: pairs bucket to the power-of-two of their own
+    # lengths, so short pairs don't pay the longest pair's padded grid
+    # (poison-padding soundness makes every bucket exact).  Each group runs
+    # the lockstep batch below; records are reassembled in input order.
+    groups: dict = {}
+    for i, (r, q) in enumerate(enc):
+        groups.setdefault((_bucket(len(r)), _bucket(len(q))), []).append(i)
+    if len(groups) > 1:
+        records = [None] * len(pairs)
+        for _key, idxs in sorted(groups.items()):
+            sub = align_pairs(
+                config,
+                [pairs[i] for i in idxs],
+                names=[names[i] for i in idxs] if names else None,
+                maximise_total_length=maximise_total_length,
+                chunk=chunk,
+                mesh=mesh,
+            )
+            for i, rec in zip(idxs, sub):
+                records[i] = rec
+        return records
     # K-soundness (aligner._run_engine): the scaled decomposition is exact
     # only while total TS length < K; a rewinding config with zero-cost TSMs
     # makes the maximise objective unbounded, so drop the tie-break there.

@@ -216,3 +216,32 @@ def test_sp_sweep_flanked_matches_single_device():
         expect = sw.sweep(seeds)
         got = sp_sweep_flanked(jw, to_device_costs(seeds), mesh)
         np.testing.assert_array_equal(from_device_costs(got), expect)
+
+
+def test_align_pairs_multi_bucket():
+    """Pairs whose lengths land in different power-of-two buckets are
+    grouped per bucket (short pairs don't pay the longest pair's padded
+    grid) and records come back in input order with single-pair costs."""
+    from tsalign_tpu.aligner import Aligner
+    from tsalign_tpu.parallel.batch_ts import align_pairs
+
+    rng = np.random.default_rng(31)
+    al = get_alphabet("dna")
+    cfg = random_config(rng, al, flanks=False)
+    letters = "ACGT"
+
+    def mk(n):
+        r = "".join(letters[c] for c in rng.integers(0, 4, size=n))
+        q = list(r)
+        q[n // 2] = letters[int(rng.integers(0, 4))]
+        return r, "".join(q)
+
+    # bucket 64 (short) and bucket 128 (long), interleaved
+    pairs = [mk(10), mk(70), mk(12), mk(90)]
+    records = align_pairs(cfg, pairs, names=[("R", "Q")] * len(pairs))
+    a = Aligner(costs=cfg, engine="numpy")
+    for (r, q), rec in zip(pairs, records):
+        single = a.align(r, q, "R", "Q").result
+        assert rec.has_target == single.has_target
+        if rec.has_target:
+            assert rec.result.cost == single.result.cost

@@ -307,12 +307,70 @@ class BatchedTSAligner:
             eb_b = np.full((B, eb_host.size), -1, np.int32)
             n_e = n_anti + 1
             finite = A_mod < int(DEV_INF) // 2  # (B, n_p+1, n_e[+pad])
+            col_live = finite.any(axis=1)  # (B, n_e)
             for ci, eb in enumerate(eb_host):
                 s0 = int(eb)
-                live = finite[:, :, s0 : s0 + C].any(axis=(1, 2))
+                live = col_live[:, s0 : s0 + C].any(axis=1)
                 eb_b[live, ci] = s0
             if (eb_b < 0).all():
                 continue  # no pair has a live entry for this kind
+            # Compact-column route (the single-pair engine's post-round-1
+            # fast path, _kind_sel_chunks): once the pruned entry fields
+            # are sparse but SCATTERED, whole chunks stay live while only a
+            # handful of columns in them matter — gather just the live
+            # columns per pair into a shared power-of-two bucket instead.
+            # lax.map keeps the gathers unbatched: the exact op pattern the
+            # single-pair path already exercises safely on device every
+            # round.  Sentinel slots (0) re-gather column 0 (idempotent
+            # duplicate or pruned-INF) — exact either way.
+            n_live_max = max(int(col_live.sum(axis=1).max()), 1)
+            Kb = C
+            while Kb < n_live_max:
+                Kb *= 2
+            live_chunks_max = int((eb_b >= 0).sum(axis=1).max())
+            if shard is None and Kb < live_chunks_max * C:
+                from ..ops.jax_modules import _kind_sel_chunks
+
+                e_sel_b = np.zeros((B, Kb), np.int32)
+                for i in range(B):
+                    idx = np.nonzero(col_live[i])[0]
+                    e_sel_b[i, : idx.size] = idx.astype(np.int32)
+                OUTW = PAD + spec.n_anti + 1 + max(0, km0.s_hi)
+
+                def step_c(a, es, f, bp, _st, _PAD=PAD, _OUTW=OUTW):
+                    return jax.lax.map(
+                        lambda args: _kind_sel_chunks(
+                            args[0], args[1], args[2], args[3],
+                            st=_st, PAD=_PAD, OUTW=_OUTW, gather=True,
+                        ),
+                        (a, es, f, bp),
+                    )
+
+                es_dev = jnp.asarray(e_sel_b)
+                try:
+                    sel = step_c(
+                        A_dev, es_dev, fixed_b, B_pre,
+                        km0._static._replace(separate_cols=True),
+                    )
+                except Exception as e:
+                    from ..jax_engine import _module_pallas_fallback
+
+                    _module_pallas_fallback(km0, e)
+                    sel = step_c(
+                        A_dev, es_dev, fixed_b, B_pre,
+                        km0._static._replace(separate_cols=True),
+                    )
+                sync_point(
+                    sel,
+                    f"batch kind pk={spec.pk} sk={spec.sk} dk={spec.dk} "
+                    f"compact Kb={Kb}",
+                )
+                n_reals = jnp.asarray(
+                    [lq if spec.pk == 0 else lr for lr, lq in self.real],
+                    jnp.int32,
+                )
+                launched.append((spec, PAD, sel, n_reals))
+                continue
             eb_dev = jnp.asarray(eb_b)
             if shard is not None:
                 A_dev, Rk_pad0 = shard(A_dev), shard(Rk_pad0)

@@ -5,7 +5,7 @@
 // machinery (lib_ts_chainalign/src/anchors/kmers.rs, kmer_matches.rs:32-76).
 // Exposed via a plain C ABI consumed with ctypes.
 //
-// Build: see csrc/build.py (invoked lazily from tsalign_tpu/chain/native.py).
+// Build: compiled lazily by tsalign_tpu/chain/native.py (g++ -O2 -shared).
 
 #include <algorithm>
 #include <cstdint>

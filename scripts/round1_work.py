@@ -53,7 +53,7 @@ def main():
     seeds = eng._root_seeds_host()
     from tsalign_tpu.ops.jaxcommon import to_device_costs
 
-    entry, tcost, _ = eng._sweep_summary(to_device_costs(seeds), climb=False)
+    entry, tcost, _, _ = eng._sweep_summary(to_device_costs(seeds), climb=False)
     best = tcost
     print(f"round-0 sweep {time.time()-t0:.1f}s best(no-TS)={best} (/K={best/K:.1f})")
 

@@ -45,7 +45,8 @@ STEPS = [
     ("heli_bench", [sys.executable, "-c", (
         "import sys; sys.path.insert(0, %r);"
         "import multiprocessing as mp, bench;"
-        "q = mp.Queue(); bench._measure(q); print('RESULT', q.get())"
+        "q = mp.Queue(); bench._measure(q);\n"
+        "while not q.empty(): print('RESULT', q.get())"
     ) % REPO], 1800, {}),
     ("goldens", [sys.executable, "scripts/validate_goldens.py", "--cases",
                  "twin_heli_MDC1-AS1_10", "twin_heli_linc01237_114",
@@ -62,7 +63,21 @@ STEPS = [
      {"TSALIGN_NO_PALLAS": "1"}),
     ("bucket8", [sys.executable, "scripts/repro_batch_crash.py", "8"], 1500,
      {"TSALIGN_NO_PALLAS": "1"}),
+    # Round-4 throughput experiments (risk-ordered): bigger e-chunks on the
+    # XLA scan path (the 128 MB assembly clamp pre-dates the round-3 gather
+    # root-cause fix, so C=16 at the 256 bucket is likely over-conservative),
+    # then the Pallas module kernel under lax.map (the round-3 rewrites
+    # removed the gather fault class this path was blamed for).
+    ("bucket8_c64", [sys.executable, "scripts/repro_batch_crash.py", "8"],
+     1500, {"TSALIGN_NO_PALLAS": "1", "TSALIGN_ASM_BUDGET_MB": "512"}),
     ("bucket8p", [sys.executable, "scripts/repro_batch_crash.py", "8"], 1500, {}),
+    ("bucket8p_c64", [sys.executable, "scripts/repro_batch_crash.py", "8"],
+     1500, {"TSALIGN_ASM_BUDGET_MB": "512"}),
+    # Device-engine chained mode at reference scale (VERDICT r3 item 4).
+    ("chain100k", [sys.executable, "scripts/validate_chain_scale.py",
+                   "100000", "--engine", "jax"], 3000, {}),
+    ("chain230k", [sys.executable, "scripts/validate_chain_scale.py",
+                   "230000", "--engine", "jax"], 3600, {}),
 ]
 
 

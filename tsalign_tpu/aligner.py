@@ -190,7 +190,14 @@ class Aligner:
             try:
                 from .jax_engine import JaxAligner
 
-                eng = JaxAligner(cfg, ref_arr, qry_arr, chunk=self.chunk, **kw)
+                # keep_fields="device": per-round fields stay resident in
+                # device HBM; the traceback fetches tiles on demand
+                # (device_fields.py) instead of paying a full (F, 3, n, n)
+                # transfer per round.
+                eng = JaxAligner(
+                    cfg, ref_arr, qry_arr, chunk=self.chunk,
+                    keep_fields="device", **kw,
+                )
                 out = eng.align_with_traceback()
                 self._last_cells = getattr(self, "_last_cells", 0) + getattr(
                     eng, "cells_swept", 0

@@ -235,6 +235,7 @@ def chain_align(
     cache_directory: Optional[str] = None,
     force_no_preprocessing: bool = False,
     verify: bool = True,
+    verify_spans: Tuple[int, ...] = (2, 3),
 ) -> ChainAlignResult:
     t_start = time.monotonic()
     ref = np.asarray(reference)
@@ -291,38 +292,60 @@ def chain_align(
         )
     segments = len(outcomes)
 
-    # Verification pass (bounded analog of the reference's iterate-chain /
-    # evaluate-exactly convergence loop, chain_align.rs:157-282): re-align
-    # the merged window across every interior cut and require that the cut
-    # did not lose (cost, -ts_length) optimality; a losing cut is removed
-    # and its merged alignment adopted.  One sweep suffices for the
-    # certificate the stitch claims: every surviving cut is locally optimal
-    # at double-segment scale.
+    # Verification pass: convergence analog of the reference's
+    # iterate-chain / evaluate-exactly loop (chain_align.rs:157-282).
+    # Re-align the merged window across consecutive segment groups at
+    # growing spans and require that the interior cuts did not lose
+    # (cost, -ts_length) optimality; losing cuts are removed and the merged
+    # alignment adopted.  Span 2 certifies each single cut; span 3
+    # additionally catches structures that straddle TWO consecutive cuts —
+    # a TSM's primary footprint (<= l_max) can exceed a short segment
+    # (cuts inside exact runs are only `min_run` apart), so no 2-segment
+    # window contains it (tests/test_chain.py::test_verification_catches_
+    # three_segment_structures).  The sweep repeats until a full pass at
+    # every span finds no improvement — the same stop condition as the
+    # reference's loop (evaluated cost stopped improving).
     cuts_rejoined = 0
     if verify:
-        i = 1
-        while i < len(cuts) - 1:
-            merged_out = _align_segment(
-                config, ref, qry, cuts[i - 1], cuts[i + 1], radius, use_jax,
-                max_template_switches,
-            )
-            left, right = outcomes[i - 1], outcomes[i]
-            split = (left.cost + right.cost, -(left.ts_length + right.ts_length))
-            joined = (merged_out.cost, -merged_out.ts_length)
-            if joined < split:
-                if progress:
-                    print(
-                        f"verification: cut {cuts[i]} suboptimal "
-                        f"({split} -> {joined}), rejoining",
-                        flush=True,
+        merged_memo: dict = {}  # (cut0, cut1) -> outcome; passes repeat windows
+
+        def merged_window(cut0, cut1):
+            key = (cut0, cut1)
+            if key not in merged_memo:
+                merged_memo[key] = _align_segment(
+                    config, ref, qry, cut0, cut1, radius, use_jax,
+                    max_template_switches,
+                )
+            return merged_memo[key]
+
+        while True:
+            changed = False
+            for span in verify_spans:
+                s = 0
+                while s + span <= len(outcomes):
+                    parts = outcomes[s : s + span]
+                    split = (
+                        sum(o.cost for o in parts),
+                        -sum(o.ts_length for o in parts),
                     )
-                del cuts[i]
-                outcomes[i - 1 : i + 1] = [merged_out]
-                cuts_rejoined += 1
-                # re-check the rejoined window against its new neighbours
-                i = max(1, i - 1)
-            else:
-                i += 1
+                    merged_out = merged_window(cuts[s], cuts[s + span])
+                    joined = (merged_out.cost, -merged_out.ts_length)
+                    if joined < split:
+                        if progress:
+                            print(
+                                f"verification: cuts {cuts[s + 1:s + span]} "
+                                f"suboptimal ({split} -> {joined}), rejoining",
+                                flush=True,
+                            )
+                        cuts_rejoined += span - 1
+                        del cuts[s + 1 : s + span]
+                        outcomes[s : s + span] = [merged_out]
+                        changed = True
+                        s = max(0, s - 1)
+                    else:
+                        s += 1
+            if not changed:
+                break
         segments = len(outcomes)
 
     total_cost = sum(o.cost for o in outcomes)

@@ -132,23 +132,49 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--query-limit", type=int, default=None)
     a.add_argument("--prune-range", action="store_true")
     a.add_argument("--dont-extend-beyond-range", action="store_true")
-    # strategy selectors, accepted for CLI parity (the dense engine computes
-    # the same optimum without the A* pruning strategies)
+    # Strategy selectors: validated against the reference's clap enums
+    # (align.rs:57-223, template_switch_distance_type_selectors.rs:47-81,
+    # chain_align/performance_parameters.rs:26-40) so unknown values exit 2
+    # like the reference.  The dense engine computes the same optimum
+    # without the A* pruning strategies, so all choices are accepted and
+    # (except total-length/descendant) subsumed by the exact dense search.
     a.add_argument("--ts-node-ord-strategy", default="anti-diagonal",
                    choices=["anti-diagonal"])  # node expansion order; the
     # dense engine has no expansion order (align.rs:105)
-    a.add_argument("--ts-min-length-strategy", default="lookahead")
-    a.add_argument("--ts-chaining-strategy", default="none")
-    a.add_argument("--ts-total-length-strategy", default="maximise")
-    a.add_argument("--ts-descendant-strategy", default="any",
-                   choices=["any", "only-equal"])
+    a.add_argument(
+        "--ts-min-length-strategy",
+        default="lookahead",
+        choices=["none", "lookahead", "preprocess-price",
+                 "preprocess-filter", "preprocess-lookahead"],
+    )  # all subsumed: the min-length seed feasibility is exact in the
+    # dense module seeds (ops/tsm_modules.py)
+    a.add_argument(
+        "--ts-chaining-strategy", default="none",
+        choices=["none", "lower-bound"],
+    )  # subsumed: lower_bounds.py applies the admissible TSLB bound always
+    a.add_argument(
+        "--ts-total-length-strategy", default="maximise",
+        choices=["none", "maximise"],
+    )
+    a.add_argument(
+        "--ts-descendant-strategy", default="allow-any",
+        # internal short names kept as aliases of the reference's clap names
+        choices=["allow-any", "allow-only-all-equal", "any", "only-equal"],
+    )
     a.add_argument("--force-label-correcting", action="store_true")
+    # subsumed: the dense fixpoint is label-correcting by construction
     a.add_argument("--engine", default="auto", choices=["auto", "numpy", "jax"])
     a.add_argument("-k", "--kmer-length", type=int, default=None)
-    a.add_argument("--max-chaining-successors", type=int, default=None)  # accepted
-    a.add_argument("--max-exact-cost-function-cost", type=int, default=None)  # accepted
-    a.add_argument("--chaining-open-list", default=None)  # accepted
-    a.add_argument("--chaining-closed-list", default=None)  # accepted
+    a.add_argument("--max-chaining-successors", type=int, default=None)
+    # accepted, subsumed: the chain DP explores its window exhaustively
+    a.add_argument("--max-exact-cost-function-cost", type=int, default=None)
+    # accepted, subsumed: segment costs are exact (chain/driver.py)
+    a.add_argument("--chaining-open-list", default="linear-heap",
+                   choices=["std-heap", "linear-heap"])
+    # accepted, subsumed: the windowed chain DP is dense (chain/chain.py)
+    a.add_argument("--chaining-closed-list", default="special",
+                   choices=["fx-hash-map", "special"])
+    # accepted, subsumed: dense DP needs no closed list
     a.add_argument("--cache-directory", default=None)
     a.add_argument("--force-no-preprocessing", action="store_true")
     a.add_argument("--force-label-correcting-all", dest="_flc2", action="store_true",
@@ -218,7 +244,9 @@ def cmd_align(args) -> int:
         costs=config,
         alphabet=args.alphabet,
         template_switch_total_length_strategy=args.ts_total_length_strategy,
-        template_switch_descendant_strategy=args.ts_descendant_strategy,
+        template_switch_descendant_strategy={
+            "allow-any": "any", "allow-only-all-equal": "only-equal"
+        }.get(args.ts_descendant_strategy, args.ts_descendant_strategy),
         no_ts=args.no_ts,
         engine=args.engine,
     )

@@ -667,10 +667,12 @@ class JaxAligner:
         """Run the device sweep and transfer only what the round loop needs:
         the entry layer (min over gap types of the top flank layer) and the
         target-cell values.  The full (F, 3, n, n) field crosses the relay
-        only when keep_fields (traceback) requires it.
+        only when keep_fields is True (host-materialized traceback); the
+        "device" mode keeps the field resident and the traceback fetches
+        tiles on demand (device_fields.py).
 
         Returns (entry_cells int32 (n_r+1, n_q+1), target_cost host int,
-        M_host or None)."""
+        M_host or None, M_dev)."""
         M_dev = sync_point(
             self._get_sweep(climb).sweep(jnp.asarray(seeds_host)), "sweep"
         )
@@ -683,28 +685,38 @@ class JaxAligner:
             rl=self.range.reference_limit,
             ql=self.range.query_limit,
         )
-        M_host = np.asarray(M_dev) if self.keep_fields else None
+        M_host = np.asarray(M_dev) if self.keep_fields is True else None
         t = int(np.asarray(tv).min())
-        return np.asarray(E), (INF if t >= int(DEV_INF) // 2 else t), M_host
+        return np.asarray(E), (INF if t >= int(DEV_INF) // 2 else t), M_host, M_dev
 
     def align(self) -> JaxEngineResult:
         root = np.asarray(to_device_costs(self._root_seeds_host()))
         t = self.max_ts
         res = JaxEngineResult(cost=INF, rounds=0)
 
-        def keep(M_host):
-            if self.keep_fields and M_host is not None:
+        def keep(M_host, M_dev, E_i32):
+            if self.keep_fields is True and M_host is not None:
                 res.primary_fields.append(from_device_costs(M_host))
+            elif self.keep_fields == "device":
+                from .device_fields import DeviceField4
 
-        def keepR(R_host):
-            if self.keep_fields and R_host is not None:
-                res.reentry_fields.append(from_device_costs(R_host))
+                res.primary_fields.append(
+                    DeviceField4(M_dev, entry_cells=from_device_costs(E_i32))
+                )
+
+        def keepR(R_dev):
+            if self.keep_fields is True:
+                res.reentry_fields.append(from_device_costs(np.asarray(R_dev)))
+            elif self.keep_fields == "device":
+                from .device_fields import DeviceField2
+
+                res.reentry_fields.append(DeviceField2(R_dev))
 
         root_dev = jnp.asarray(root)
 
         if t is not None:
-            E, best, M_host = self._sweep_summary(root_dev, 0 < t)
-            keep(M_host)
+            E, best, M_host, M_dev = self._sweep_summary(root_dev, 0 < t)
+            keep(M_host, M_dev, E)
             if t == 0:
                 res.cost, res.rounds = best, 1
                 return res
@@ -715,18 +727,19 @@ class JaxAligner:
                 R_dev = self._reentry(
                     self._pruned_entry_cells(E, best), kinds, best=best
                 )
-                keepR(np.asarray(R_dev) if self.keep_fields else None)
-                E, t_cost, M_host = self._sweep_summary(
+                if self.keep_fields:
+                    keepR(R_dev)
+                E, t_cost, M_host, M_dev = self._sweep_summary(
                     _seeds_jit(root_dev, R_dev), c < t
                 )
-                keep(M_host)
+                keep(M_host, M_dev, E)
                 best = min(best, t_cost)
             res.cost, res.rounds = best, t + 1
             return res
 
         t0 = time.monotonic()
-        E, best, M_host = self._sweep_summary(root_dev, True)
-        keep(M_host)
+        E, best, M_host, M_dev = self._sweep_summary(root_dev, True)
+        keep(M_host, M_dev, E)
         logger.debug("round 0 (no-TS sweep): cost=%s %.3fs", best, time.monotonic() - t0)
         delta = min_tsm_cost_bound(self.config)
         kinds = None
@@ -776,17 +789,18 @@ class JaxAligner:
                 R_acc, eq = _acc_jit(R_acc, R_new)
                 unchanged = bool(eq)
             A_launched = A if A_launched is None else np.minimum(A_launched, A)
-            keepR(np.asarray(R_acc) if self.keep_fields else None)
+            if self.keep_fields:
+                keepR(R_acc)
             # Exact no-sweep stop: if this round's launches left the reentry
             # field unchanged, the seeds are unchanged, so the sweep would
             # reproduce M and the pruned entry field verbatim — a fixpoint.
             if unchanged:
                 res.cost, res.rounds = best, k + 1
                 return res
-            E_next, t_cost, M_host = self._sweep_summary(
+            E_next, t_cost, M_host, M_dev = self._sweep_summary(
                 _seeds_jit(root_dev, R_acc), True
             )
-            keep(M_host)
+            keep(M_host, M_dev, E_next)
             new_best = min(best, t_cost)
             logger.debug("round %d: cost=%s %.3fs", k, new_best, time.monotonic() - t0)
             # TSLB stop: the next reentry depends only on the pruned entry

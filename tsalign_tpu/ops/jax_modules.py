@@ -174,8 +174,11 @@ class JaxKindModule:
             scan_budget = (
                 int(os.environ.get("TSALIGN_SCAN_BUDGET_MB", "512")) * 2**20
             )
-            # The vmapped batch dispatch multiplies every live buffer by the
-            # batch size, so the working-set clamp must include it.
+            # batch > 1 scales the clamp for genuinely vmapped dispatches.
+            # The real batch path (parallel/batch_ts.py) no longer has any:
+            # module/assembly dispatches run under lax.map with single-pair
+            # temps, so it leaves batch=1; only scripts/bisect_batch_crash.py
+            # passes batch>1 to reproduce the historical vmapped footprints.
             carry = (
                 12 * (spec.n_p + 1) * (spec.r_hi - spec.r_lo + 1) * self.batch
             )
@@ -328,19 +331,20 @@ class JaxKindModule:
 
         # Assembly scratch clamp (XLA path, ALL kinds — the same-seq kinds
         # have no module-scan clamp, and their assembly is the dominant
-        # working set).  The banded/padded per-row-width machinery
-        # materializes K = floor(log2(w))+1 sparse-table levels of the
-        # (n_p+1, C, S+w-1) window source per segment plus ~3 more C-sized
-        # slabs; a dispatch whose working set approaches the worker's free
-        # HBM headroom crashes the worker outright (not a clean OOM) once
-        # any device->host transfer has staged buffers.  Bisected in round 3
-        # on the batched throughput bucket: C=64 faults after any transfer,
-        # C=16 runs (scripts/bisect_batch_crash.py); twin_1000's C=128
-        # single-pair assembly (~2 GB) is the same class.
+        # working set).  The gather-free masked-shift band machinery
+        # (_masked_window_min) keeps one (n_p+1, C, S+w-1) window source
+        # slice plus a handful of (n_p+1, C, S)-sized shift/accumulator
+        # slabs live per segment, alongside the (n_p+1, C, LL) sheared
+        # D3pad; the K_env factor below is a conservative envelope of those
+        # concurrent slabs.  Historically a dispatch whose working set
+        # approached the worker's free HBM headroom crashed the worker (the
+        # round-3 bisect later attributed the crash to gather dispatches,
+        # since rewritten away), so this clamp is now a memory-footprint
+        # bound, not a crash workaround.
         w_max = max((sg[1] - sg[0] + 1 for sg in segs), default=1)
-        K_lv = max(1, int(np.floor(np.log2(max(w_max, 1)))) + 1)
+        K_env = max(1, int(np.floor(np.log2(max(w_max, 1)))) + 1)
         a_budget = int(os.environ.get("TSALIGN_ASM_BUDGET_MB", "128")) * 2**20
-        per_c = 4 * (K_lv + 3) * (n_p + 1) * (S + w_max - 1) * self.batch
+        per_c = 4 * (K_env + 3) * (n_p + 1) * (S + w_max - 1) * self.batch
         while self.chunk > 8 and per_c * self.chunk > a_budget:
             self.chunk //= 2
 
@@ -610,8 +614,9 @@ def _assembly_positive_traced(st, plan: _SegPlan, D3pad, n_p: int, C: int, ah):
     Exact counterpart of the static full+band+kill partition: row p2's
     feasible ldiff range is [a, min(b, ah - p2)], i.e. an end-anchored
     window of per-row width w_row = clip(ah - a - p2 + 1, 1, w), killed
-    when ah - p2 < a.  Per-row widths are served from power-of-two sparse
-    tables (log2(w)+1 levels over the S+w-1 wide source slice)."""
+    when ah - p2 < a.  Per-row widths are served gather-free by w masked
+    shifted elementwise mins over the (w-1)-row boundary band
+    (_masked_window_min); only the band rows pay the per-offset work."""
     w = plan.b - plan.a + 1
     S = st.S
     t0 = st.OFF + st.s_lo - plan.b

@@ -519,10 +519,50 @@ class BatchedTSAligner:
         E_host, best = summarize(M_dev)
         logger.debug("batch phase: initial sweep done")
         results = [JaxEngineResult(cost=INF, rounds=1) for _ in range(B)]
+
+        def keep_primary(M_dev_round, E_round, live=None):
+            """Append this round's primary field per live pair: host copies
+            (keep_fields=True) or lazy device tile views ("device" mode,
+            device_fields.py — no full stacked-field transfer)."""
+            if self.keep_fields is True:
+                M_host = np.asarray(M_dev_round)
+                for i in range(B):
+                    if live is None or live[i]:
+                        results[i].primary_fields.append(
+                            from_device_costs(M_host[i])
+                        )
+            elif self.keep_fields == "device":
+                from ..device_fields import DeviceField4
+
+                for i in range(B):
+                    if live is None or live[i]:
+                        results[i].primary_fields.append(
+                            DeviceField4(
+                                M_dev_round,
+                                entry_cells=from_device_costs(E_round[i]),
+                                batch_index=i,
+                            )
+                        )
+
+        def keep_reentry(R_dev_round, live):
+            if self.keep_fields is True:
+                R_host = np.asarray(R_dev_round)
+                for i in range(B):
+                    if live[i]:
+                        results[i].reentry_fields.append(
+                            from_device_costs(R_host[i])
+                        )
+            elif self.keep_fields == "device":
+                from ..device_fields import DeviceField2
+
+                for i in range(B):
+                    if live[i]:
+                        results[i].reentry_fields.append(
+                            DeviceField2(R_dev_round, batch_index=i)
+                        )
+
         if self.keep_fields:
-            M_host = np.asarray(M_dev)
-            for i in range(B):
-                results[i].primary_fields.append(from_device_costs(M_host[i]))
+            keep_primary(M_dev, E_host)
         delta = min_tsm_cost_bound(self.config)
         root_dev = seeds
 
@@ -553,7 +593,18 @@ class BatchedTSAligner:
                 self._build_kind_sets(self._derive_budget(best))
             for i in range(B):
                 if A_cur[i] is None:
-                    A_cur[i] = self._pruned_entry_pair(i, E_host[i], best[i])
+                    if done[i]:
+                        # Converged before any reentry (k*delta bound or
+                        # TSLB improvement stop in this same round): its one
+                        # and only delta launch must be inert, not a full
+                        # pruned-entry launch for a pair already proven done.
+                        A_cur[i] = np.full(
+                            (self.nr + 1, self.nq + 1), DEV_INF, np.int32
+                        )
+                    else:
+                        A_cur[i] = self._pruned_entry_pair(
+                            i, E_host[i], best[i]
+                        )
             A_delta = []
             for i in range(B):
                 a = A_cur[i]
@@ -575,12 +626,7 @@ class BatchedTSAligner:
                 unchanged = bool(eq)
             logger.debug("batch phase: reentry done (round %d)", k)
             if self.keep_fields:
-                R_host = np.asarray(R_acc)
-                for i in range(B):
-                    if not done[i]:
-                        results[i].reentry_fields.append(
-                            from_device_costs(R_host[i])
-                        )
+                keep_reentry(R_acc, [not d for d in done])
             # Exact no-sweep stop: this round's launches left the reentry
             # accumulator unchanged, so seeds, sweeps and pruned entry
             # fields would all repeat — a fixpoint for every live pair.
@@ -599,12 +645,7 @@ class BatchedTSAligner:
             E_next, t_costs = summarize(M_next_dev)
             new_best = [min(a, b) for a, b in zip(best, t_costs)]
             if self.keep_fields:
-                M_next_host = np.asarray(M_next_dev)
-                for i in range(B):
-                    if not done[i]:
-                        results[i].primary_fields.append(
-                            from_device_costs(M_next_host[i])
-                        )
+                keep_primary(M_next_dev, E_next, live=[not d for d in done])
             # Pruned-entry fixpoint per pair (jax_engine semantics): once
             # the pruned field is stable, reentries/seeds/sweeps repeat.
             for i in range(B):
@@ -643,7 +684,10 @@ class BatchedTSAligner:
         from ..traceback import TracebackEngine
 
         if not self.keep_fields:
-            self.keep_fields = True
+            # Lazy device tile views by default: the stacked per-round
+            # fields stay in HBM and each pair's traceback fetches only the
+            # tiles its path touches (device_fields.py).
+            self.keep_fields = "device"
         results = self.align(mesh=mesh)
         self.last_results = results  # per-pair rounds (K-soundness guard)
         out = []
@@ -734,7 +778,7 @@ def align_pairs(
 
     t0 = _time.monotonic()
     try:
-        bt = BatchedTSAligner(cfg_run, enc, chunk=chunk, keep_fields=True)
+        bt = BatchedTSAligner(cfg_run, enc, chunk=chunk, keep_fields="device")
         traced = bt.align_with_traceback(mesh=mesh)
     except OverflowError:
         # Scaled magnitudes exceed the int32 device domain: single-pair

@@ -498,7 +498,9 @@ class TracebackEngine:
                     f"traceback: seed mismatch at ({i},{j}): {v} vs "
                     f"{int(reentry_fields[k - 1][i, j])}"
                 )
-            A_cells = primary_fields[k - 1][-1].min(axis=0)
+            from .device_fields import entry_cells_of
+
+            A_cells = entry_cells_of(primary_fields[k - 1])
             tsm = self._reconstruct_tsm(i, j, v, A_cells)
             for e in reversed(self._tsm_edges(tsm)):
                 edges_rev.append(e)

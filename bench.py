@@ -82,9 +82,7 @@ def _probe(q):
 
 def _measure(q):
     al, cfg, r_str, q_str, rng = _load_heli()
-    from tsalign_tpu.aligner import Aligner
     from tsalign_tpu.jax_engine import JaxAligner
-    from tsalign_tpu.pricing import price_alignment
 
     ref = al.encode(r_str)
     qry = al.encode(q_str)
@@ -110,13 +108,24 @@ def _measure(q):
             wall, cells = w, getattr(eng, "cells_swept", 0)
     q.put({"stage": "cost", "cost": res.cost, "wall": wall, "cells": cells})
 
-    # End-to-end record run: K-scaled tie-break engine + device-view
-    # traceback + extension + equal-cost ranges (the unit the reference's
-    # 69.62 s covers).  Verified by exact re-pricing at the golden cost.
+
+def _measure_record(q):
+    """End-to-end record run in its own child (its cold compiles must not
+    eat the headline child's budget): K-scaled tie-break engine +
+    device-view traceback + extension + equal-cost ranges (the unit the
+    reference's 69.62 s covers, a_star_aligner.rs:58-161).  Verified by
+    exact re-pricing at the golden cost."""
+    al, cfg, r_str, q_str, rng = _load_heli()
+    from tsalign_tpu.aligner import Aligner
+    from tsalign_tpu.pricing import price_alignment
+
+    ref = al.encode(r_str)
+    qry = al.encode(q_str)
     facade = Aligner(costs=cfg, engine="jax", chunk=128)
     t0 = time.monotonic()
     out = facade.align(r_str, q_str, range_=rng)
     rec_wall = time.monotonic() - t0
+    q.put({"stage": "record_cold", "record_wall": rec_wall})
     t0 = time.monotonic()
     out = facade.align(r_str, q_str, range_=rng)  # warm repeat
     rec_wall = min(rec_wall, time.monotonic() - t0)
@@ -263,17 +272,26 @@ def main():
             cells_per_sec=int(cps),
             sol_frac=round(cps / SOL_CELLS_PER_SEC, 8),
         )
-        if "record_wall" in result:
-            out.update(
-                record_wall=round(result["record_wall"], 4),
-                record_cost=result["record_cost"],
-                record_ok=(
-                    result["record_cost"] <= GOLDEN_COST
-                    and result["record_reprices"]
-                ),
-            )
     # The headline line, printed NOW: whatever happens below, the driver
     # has a complete result already.
+    print(json.dumps(out), flush=True)
+
+    # End-to-end record run (own child: its compiles must not eat the
+    # headline budget).  Carries the headline keys forward so the final
+    # printed line is always the most enriched complete result.
+    rec = _run_child(_measure_record, 480, recover=45, stage="record")
+    if rec is None or "record_cost" not in rec:
+        out["record_error"] = "record run timed out/wedged"
+        if rec and "record_wall" in rec:
+            out["record_cold_wall"] = round(rec["record_wall"], 4)
+    else:
+        out.update(
+            record_wall=round(rec["record_wall"], 4),
+            record_cost=rec["record_cost"],
+            record_ok=(
+                rec["record_cost"] <= GOLDEN_COST and rec["record_reprices"]
+            ),
+        )
     print(json.dumps(out), flush=True)
 
     # Batched corpus throughput (pairs/sec through the full record pipeline

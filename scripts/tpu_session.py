@@ -48,6 +48,12 @@ STEPS = [
         "q = mp.Queue(); bench._measure(q);\n"
         "while not q.empty(): print('RESULT', q.get())"
     ) % REPO], 1800, {}),
+    ("record", [sys.executable, "-c", (
+        "import sys; sys.path.insert(0, %r);"
+        "import multiprocessing as mp, bench;"
+        "q = mp.Queue(); bench._measure_record(q);\n"
+        "while not q.empty(): print('RESULT', q.get())"
+    ) % REPO], 1200, {}),
     ("goldens", [sys.executable, "scripts/validate_goldens.py", "--cases",
                  "twin_heli_MDC1-AS1_10", "twin_heli_linc01237_114",
                  "underscore", "--chunk", "128"], 1800, {}),

@@ -14,7 +14,8 @@ Device counterpart of ops/tsm_modules.py.  Per kind (pk, sk, dk):
      segments of the piecewise-constant ldiff function.  The feasibility
      constraint clips the window only in a static boundary band of rows
      (|band| <= segment width), handled exactly with per-row-width window
-     minima from a power-of-two sparse table.  A final scan over s
+     minima computed as masked shifted elementwise mins over the band slab
+     (_masked_window_min — gather-free).  A final scan over s
      accumulates R[p2, j2 = e_anti + s] with the strict reentry bound
      0 <= j2 < n_anti (template_switch_distance.rs:600-618).
 

@@ -31,8 +31,16 @@ from ..costs import INF
 from ..engine import min_tsm_cost_bound
 from ..geometry import AlignmentRange
 from ..jax_engine import JaxEngineResult
+from functools import partial
+
 from ..ops.jax_primary import JaxPrimarySweep, _sweep_jit
-from ..ops.jax_modules import JaxKindModule, _kind_all_chunks, _same_module_jit
+from ..ops.jax_modules import (
+    JaxKindModule,
+    _fold_kind_cells,
+    _kind_all_chunks,
+    _kind_sel_chunks,
+    _same_module_jit,
+)
 from ..ops.jaxcommon import (
     DEV_INF,
     from_device_costs,
@@ -68,6 +76,68 @@ def _summ_batch_jit(M_b, lr, lq):
 def _seeds_batch_jit(root_dev, R_dev):
     """Next-round batched seeds on device (see jax_engine._seeds_jit)."""
     return root_dev.at[:, 0, GAP_NONE].min(R_dev)
+
+
+# Module-level jitted wrappers for every repeated batch dispatch.  The
+# previous per-call closures (fresh jax.vmap / jax.lax.map lambdas built
+# inside the rounds loop) were re-traced and re-lowered on EVERY call, and
+# over the axon relay each eager lowering pays a remote compile-cache RPC
+# (seconds) even when the executable itself is cached server-side: the
+# round-3 batched bucket spent ~260 s of its 285 s warm wall on the host
+# between dispatches (profile in RESULTS.md round 4).  Hoisting the maps
+# into jitted functions keyed on static (st, PAD, ...) makes repeat calls
+# hit jit's C++ executable fast path: zero retrace, zero RPC.
+
+
+@partial(jax.jit, static_argnames=("st",))
+def _same_module_batch_jit(fixed_b, *, st):
+    return jax.vmap(lambda f: _same_module_jit(f, st=st))(fixed_b)
+
+
+@partial(jax.jit, static_argnames=("st", "PAD"))
+def _kind_map_jit(A_b, Rk_b, fixed_b, B_pre_b, eb_b, *, st, PAD):
+    # lax.map (scan over pairs), NOT vmap: the vmapped assembly multiplies
+    # the dispatch's temp memory by the batch size (memory_analysis:
+    # 0.5-0.7 GB at B=8), and dispatches that large fault this
+    # environment's TPU worker once any device->host transfer has run
+    # (round-3 bisect, scripts/bisect_batch_crash.py).  Per-pair
+    # serialization keeps the temp at the single-pair engine's level; the
+    # per-pair assembly is already wide enough to fill the chip.
+    return jax.lax.map(
+        lambda args: _kind_all_chunks(
+            args[0], args[1], args[2], args[4], args[3], st=st, PAD=PAD
+        ),
+        (A_b, Rk_b, fixed_b, B_pre_b, eb_b),
+    )
+
+
+@partial(jax.jit, static_argnames=("st", "PAD", "OUTW"))
+def _kind_sel_map_jit(A_b, es_b, fixed_b, B_pre_b, *, st, PAD, OUTW):
+    # lax.map keeps the compact-column gathers unbatched: the exact op
+    # pattern the single-pair path already exercises safely on device.
+    return jax.lax.map(
+        lambda args: _kind_sel_chunks(
+            args[0], args[1], args[2], args[3],
+            st=st, PAD=PAD, OUTW=OUTW, gather=True,
+        ),
+        (A_b, es_b, fixed_b, B_pre_b),
+    )
+
+
+@partial(jax.jit, static_argnames=("PAD", "n_anti", "transpose"))
+def _fold_batch_jit(R_b, Rk_b, n_reals, *, PAD, n_anti, transpose):
+    return jax.vmap(
+        lambda r, rk, nr: _fold_kind_cells(
+            r, rk, nr, PAD=PAD, n_anti=n_anti, transpose=transpose
+        )
+    )(R_b, Rk_b, n_reals)
+
+
+@partial(jax.jit, static_argnames=("L", "R", "climb"))
+def _sweep_batch_jit(seeds, arrays, *, L, R, climb):
+    return jax.vmap(
+        lambda s, a: _sweep_jit(s, a, L=L, R=R, climb=climb)
+    )(seeds, arrays)
 
 
 @jax.jit
@@ -269,9 +339,7 @@ class BatchedTSAligner:
                 lambda *xs: jnp.stack(xs), *[km._fixed for km in kms]
             )
             if km0.spec.same_seq:
-                B_pre = jax.vmap(lambda f: _same_module_jit(f, st=km0._static))(
-                    fixed_b
-                )
+                B_pre = _same_module_batch_jit(fixed_b, st=km0._static)
                 sync_point(
                     B_pre,
                     f"batch B_pre pk={km0.spec.pk} sk={km0.spec.sk} "
@@ -340,36 +408,27 @@ class BatchedTSAligner:
             # redoes the full chunked work plus gather overhead (measured
             # 32 s vs 20 s per cross kind on device at Kb = n_e).
             if shard is None and 2 * Kb <= live_chunks_max * C:
-                from ..ops.jax_modules import _kind_sel_chunks
-
                 e_sel_b = np.zeros((B, Kb), np.int32)
                 for i in range(B):
                     idx = np.nonzero(col_live[i])[0]
                     e_sel_b[i, : idx.size] = idx.astype(np.int32)
                 OUTW = PAD + spec.n_anti + 1 + max(0, km0.s_hi)
 
-                def step_c(a, es, f, bp, _st, _PAD=PAD, _OUTW=OUTW):
-                    return jax.lax.map(
-                        lambda args: _kind_sel_chunks(
-                            args[0], args[1], args[2], args[3],
-                            st=_st, PAD=_PAD, OUTW=_OUTW, gather=True,
-                        ),
-                        (a, es, f, bp),
-                    )
-
                 es_dev = jnp.asarray(e_sel_b)
                 try:
-                    sel = step_c(
+                    sel = _kind_sel_map_jit(
                         A_dev, es_dev, fixed_b, B_pre,
-                        km0._static._replace(separate_cols=True),
+                        st=km0._static._replace(separate_cols=True),
+                        PAD=PAD, OUTW=OUTW,
                     )
                 except Exception as e:
                     from ..jax_engine import _module_pallas_fallback
 
                     _module_pallas_fallback(km0, e)
-                    sel = step_c(
+                    sel = _kind_sel_map_jit(
                         A_dev, es_dev, fixed_b, B_pre,
-                        km0._static._replace(separate_cols=True),
+                        st=km0._static._replace(separate_cols=True),
+                        PAD=PAD, OUTW=OUTW,
                     )
                 sync_point(
                     sel,
@@ -387,25 +446,11 @@ class BatchedTSAligner:
                 A_dev, Rk_pad0 = shard(A_dev), shard(Rk_pad0)
                 eb_dev = shard(eb_dev)
 
-            def step(a, rk, f, bp, eb, _km=km0, _PAD=PAD):
-                # lax.map (scan over pairs), NOT vmap: the vmapped assembly
-                # multiplies the dispatch's temp memory by the batch size
-                # (memory_analysis: 0.5-0.7 GB at B=8), and dispatches that
-                # large fault this environment's TPU worker once any
-                # device->host transfer has run (round-3 bisect,
-                # scripts/bisect_batch_crash.py).  Per-pair serialization
-                # keeps the temp at the single-pair engine's level; the
-                # per-pair assembly is already wide enough to fill the chip.
-                return jax.lax.map(
-                    lambda args: _kind_all_chunks(
-                        args[0], args[1], args[2], args[4], args[3],
-                        st=_km._static, PAD=_PAD,
-                    ),
-                    (a, rk, f, bp, eb),
-                )
-
             try:
-                Rk_pad = step(A_dev, Rk_pad0, fixed_b, B_pre, eb_dev)
+                Rk_pad = _kind_map_jit(
+                    A_dev, Rk_pad0, fixed_b, B_pre, eb_dev,
+                    st=km0._static, PAD=PAD,
+                )
             except Exception as e:
                 # Mosaic compile rejection of the vmapped Pallas module
                 # kernel: downgrade this kind to the XLA scan path and retry
@@ -413,7 +458,10 @@ class BatchedTSAligner:
                 from ..jax_engine import _module_pallas_fallback
 
                 _module_pallas_fallback(km0, e)
-                Rk_pad = step(A_dev, Rk_pad0, fixed_b, B_pre, eb_dev)
+                Rk_pad = _kind_map_jit(
+                    A_dev, Rk_pad0, fixed_b, B_pre, eb_dev,
+                    st=km0._static, PAD=PAD,
+                )
             sync_point(
                 Rk_pad,
                 f"batch kind pk={spec.pk} sk={spec.sk} dk={spec.dk} "
@@ -429,19 +477,14 @@ class BatchedTSAligner:
             return shard(R0) if shard is not None else R0
         # Device-side fold (see jax_engine._reentry): one transfer of the
         # folded (B, nr+1, nq+1) field instead of one per kind.
-        from ..ops.jax_modules import _fold_kind_cells
-
         R_dev = jnp.full((B, self.nr + 1, self.nq + 1), DEV_INF, jnp.int32)
         if shard is not None:
             R_dev = shard(R_dev)
         for spec, PAD, Rk_pad, n_reals in launched:
-            fold = jax.vmap(
-                lambda r, rk, nr, _PAD=PAD, _sp=spec: _fold_kind_cells(
-                    r, rk, nr, PAD=_PAD, n_anti=_sp.n_anti,
-                    transpose=_sp.pk == 1,
-                )
+            R_dev = _fold_batch_jit(
+                R_dev, Rk_pad, n_reals,
+                PAD=PAD, n_anti=spec.n_anti, transpose=spec.pk == 1,
             )
-            R_dev = fold(R_dev, Rk_pad, n_reals)
             sync_point(R_dev, f"batch fold pk={spec.pk}")
         return R_dev
 
@@ -483,15 +526,14 @@ class BatchedTSAligner:
         arrays_b = stack_sweep_arrays()
         if shard is not None:
             arrays_b = jax.tree_util.tree_map(shard, arrays_b)
-        sweep_v = jax.vmap(
-            lambda seeds, arrays: _sweep_jit(
+        def sweep_v(seeds, arrays):
+            return _sweep_batch_jit(
                 seeds,
                 arrays,
                 L=self.config.left_flank_length,
                 R=self.config.right_flank_length,
                 climb=True,
             )
-        )
 
         seeds0 = np.full((B, F, 3, self.nr + 1, self.nq + 1), INF, dtype=np.int64)
         for i in range(B):

@@ -203,12 +203,13 @@ def _measure_throughput(q):
     )
 
 
-def _run_child(target, timeout0, retry_timeout=None, recover=30, stage=None):
+def _run_child(target, timeout0, retry_timeout=None, recover=30, stage=None,
+               attempts=2):
     """Run `target(q)` in a child with a hard timeout and one retry.
     Children may emit staged progress dicts; the one matching `stage` (or
     the last one) wins, so a timeout after partial progress still reports
     the completed stages."""
-    for attempt in range(2):
+    for attempt in range(attempts):
         q = mp.Queue()
         p = mp.Process(target=target, args=(q,))
         p.start()
@@ -250,11 +251,17 @@ def main():
     }
     t_start = time.monotonic()
 
-    probe = _run_child(_probe, 150, recover=30)
+    # One PATIENT probe, no retry: the first trivial op of a round can take
+    # 300-600+ s (cold relay), and killing a timed-out TPU client re-wedges
+    # the chip for 10-40 min — an impatient probe+retry CAUSES the wedge it
+    # then reports (round-4 measurement; CLAUDE.md).  On probe failure we
+    # still print a status line immediately AND attempt the headline once:
+    # the driver has a complete (error) line either way, and a late recovery
+    # can only upgrade it.
+    probe = _run_child(_probe, 650, recover=0, attempts=1)
     if probe is None:
-        out["error"] = "TPU relay unresponsive (probe timed out twice)"
+        out["error"] = "TPU relay unresponsive (650s probe timed out)"
         print(json.dumps(out), flush=True)
-        return
 
     result = _run_child(_measure, 420, recover=45)
     if result is None or "wall" not in result:
@@ -264,6 +271,7 @@ def main():
     else:
         wall = result["wall"]
         cps = result.get("cells", 0) / wall if wall > 0 else 0
+        out.pop("error", None)  # headline recovered after a probe failure
         out.update(
             value=round(wall, 4),
             vs_baseline=round(BASELINE_SECONDS / wall, 2),

@@ -41,7 +41,12 @@ PROBE = (
 
 STEPS = [
     # (name, argv, timeout_s, extra_env)
-    ("probe", [sys.executable, "-c", PROBE], 240, {}),
+    # 1800 s, deliberately huge: a cold/recovering relay can take >5 min to
+    # serve the first trivial op (round-4 measurements: 326 s, then >600 s),
+    # and KILLING a TPU client on timeout re-wedges the chip for 10-40 min
+    # (CLAUDE.md) — a vicious cycle where every impatient probe causes the
+    # wedge the next probe times out on.  Wait the probe out instead.
+    ("probe", [sys.executable, "-c", PROBE], 1800, {}),
     ("heli_bench", [sys.executable, "-c", (
         "import sys; sys.path.insert(0, %r);"
         "import multiprocessing as mp, bench;"
@@ -60,7 +65,8 @@ STEPS = [
     ("loci", [sys.executable, "scripts/validate_loci.py"], 1800, {}),
     ("chain_scale", [sys.executable, "scripts/validate_chain_scale.py",
                      "30000", "--engine", "jax"], 2400, {}),
-    ("twin1000", [sys.executable, "scripts/validate_twin1000.py"], 2400, {}),
+    ("twin1000", [sys.executable, "scripts/validate_twin1000.py",
+                  "--traceback"], 2400, {}),
     ("ari", [sys.executable, "scripts/validate_goldens.py", "--cases",
              "twin_ari_chrX_146823507_146823598", "--chunk", "128"], 2400, {}),
     ("bucket2", [sys.executable, "scripts/repro_batch_crash.py", "2"], 1200,

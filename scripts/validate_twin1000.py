@@ -48,6 +48,9 @@ def main():
                 f"rounds={ja.last_rounds} {time.time()-t0:.1f}s",
                 flush=True,
             )
+            # TSM parameters (offsets/lengths in the TS brackets) feed the
+            # narrowed-window CPU pins in tests/test_twin_fixtures.py.
+            print(f"{name} cigar: {alignment.cigar()}", flush=True)
         else:
             res = JaxAligner(cfg, ref, qry, chunk=128, keep_fields=False).align()
             print(

@@ -441,16 +441,16 @@ def test_chain_align_multi_kb_planted():
     from tsalign_tpu.config import TemplateSwitchConfig
 
     cfg = TemplateSwitchConfig.parse_plain(_NARROW_CONFIG, get_alphabet("dna-n"))
-    n = 6000
+    n = 3000
     ref = rng.integers(0, 4, size=n).astype(np.int8)
     qry = ref.copy()
     comp = get_alphabet("dna-n").complement_array()
-    # 5 planted rc stretches of length 8 (reverse TSM cost = base 2) and
-    # 10 SNPs (cost 2 each with the narrow config) spread far apart
-    ts_sites = [500, 1500, 2500, 3500, 4500]
+    # 3 planted rc stretches of length 8 (reverse TSM cost = base 2) and
+    # 5 SNPs (cost 2 each with the narrow config) spread far apart
+    ts_sites = [500, 1500, 2500]
     for p in ts_sites:
         qry[p : p + 8] = [comp[c] for c in qry[p : p + 8]][::-1]
-    snp_sites = [250 + 550 * i for i in range(10)]
+    snp_sites = [250 + 550 * i for i in range(5)]
     for p in snp_sites:
         qry[p] = (qry[p] + 1) % 4
     expected = 2 * len(ts_sites) + 2 * len(snp_sites)

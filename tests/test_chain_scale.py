@@ -32,7 +32,7 @@ def test_chain_align_multikb_planted_optimum():
     cfg = TemplateSwitchConfig.parse_plain(_mod.CONFIG, al)
     comp = al.complement_array()
 
-    n = 3000
+    n = 1500
     rng = np.random.default_rng(3000)
     ref = rng.integers(0, 4, size=n).astype(np.int8)
     qry = ref.copy()

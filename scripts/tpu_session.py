@@ -90,6 +90,10 @@ STEPS = [
                    "100000", "--engine", "jax"], 3000, {}),
     ("chain230k", [sys.executable, "scripts/validate_chain_scale.py",
                    "230000", "--engine", "jax"], 3600, {}),
+    # Round-4 attribution + corpus throughput.
+    ("record_prof", [sys.executable, "scripts/profile_record.py"], 1200, {}),
+    ("corpus", [sys.executable, "scripts/validate_corpus.py", "520"],
+     2400, {}),
 ]
 
 

@@ -6,9 +6,10 @@ engine-derived and cross-validated three ways: numpy engine == JAX engine,
 the traceback re-prices to the engine cost, and the structural expectations
 hold (equal twins cost 0; costs grow with the mutation rate).
 
-The TS variants (twin_1000_*ts) need deep module sweeps at 1000 bp that are
-device work, not CPU suite work — they are covered by
-scripts/validate_goldens.py-style device runs, not here.
+The TS variants (twin_1000_*ts) need deep module sweeps at 1000 bp that the
+CPU engines cannot afford at the sample config's full windows; the
+narrowed-window pins at the bottom of this file keep their device-validated
+costs regression-testable on CPU (VERDICT r3 item 7).
 """
 
 import numpy as np
@@ -65,3 +66,77 @@ def test_twin_100_costs_monotone_in_mutation_rate():
         cfg, ref, qry = _load(name)
         costs.append(DenseAligner(cfg, ref, qry).align().cost)
     assert costs[0] == 0 and costs[0] < costs[1] < costs[2]
+
+
+# --- twin_1000 narrowed-window pins (VERDICT r3 item 7) -------------------
+#
+# The TS variants need module sweeps the numpy engine cannot afford at the
+# sample config's wide windows (offsets ±100, lengths to 100), so their
+# costs were only pinned by device runs — unverifiable when the TPU relay
+# is down.  These pins narrow the config's cost-function windows around
+# the TSM parameters of the device-validated optimal alignments
+# (TPU_SESSION_LOG.jsonl round-4 `twin1000` step, cigars with re-priced
+# costs 16 / 22).  Narrowing is sound for pinning: every narrowed function
+# is a restriction of the original (same finite values inside the window,
+# INF outside), so narrowing can only REMOVE paths — the cost cannot drop
+# below the device-validated optimum — while the device-found optimal
+# alignment stays feasible at its exact price — the cost cannot rise
+# either.  Equality with the device pin is therefore a real regression
+# surface for the 1 kb engine path that survives relay outages.
+#
+# twin_1000_gap100 (pin 7) is excluded: its optimum uses forward TSMs at
+# offsets −60 and +100, so no narrowing keeps the numpy sweeps fast.
+
+def _window(lo, hi):
+    from tsalign_tpu.costs import INF, CostFunction
+
+    return CostFunction([(-(2**62), INF), (lo, 0), (hi + 1, INF)])
+
+
+def _narrowed_1000(cfg, rq_qr, rr_qq, max_len, rev_gap, ldiff):
+    import dataclasses
+
+    from tsalign_tpu.costs import INF, CostFunction
+
+    inf_fn = CostFunction([(-(2**62), INF)])
+    length = CostFunction(
+        [(0, INF), (5, 5), (6, 3), (7, 1), (8, 0), (max_len + 1, INF)]
+    )
+    return dataclasses.replace(
+        cfg,
+        rq_qr_offset_costs=_window(*rq_qr) if rq_qr else inf_fn,
+        rr_qq_offset_costs=_window(*rr_qq) if rr_qq else inf_fn,
+        length_costs=length,
+        # ldiff = anti_primary_gap - inner length (pricing.py:19)
+        length_difference_costs=_window(*ldiff),
+        forward_anti_primary_gap_costs=inf_fn,  # optima are all-reverse
+        reverse_anti_primary_gap_costs=_window(*rev_gap),
+    )
+
+
+def test_twin_1000_5ts_narrowed_pin():
+    """Device-validated optimum 16: 5 reverse TSMs with offsets in
+    {-20..-19, +11, +14}, inner lengths 9-14, anti-gaps -5..17."""
+    cfg, ref, qry = _load("twin_1000_5ts")
+    # Windows stay contiguous through the walk origins: the entrance
+    # offset walk starts at ±1 and the exit anti-gap walk at 0, so a
+    # window that excludes the path from the origin to the target offset
+    # makes the target unreachable even when its own cost is finite.
+    cfgN = _narrowed_1000(
+        cfg, rq_qr=(-22, 17), rr_qq=(-23, 2), max_len=16, rev_gap=(-8, 20),
+        ldiff=(-20, 7),
+    )
+    res = DenseAligner(cfgN, ref, qry).align()
+    assert res.cost == 16
+
+
+def test_twin_1000_001ts_narrowed_pin():
+    """Device-validated optimum 22: 10 substitutions (cost 2 each) plus
+    one reverse RQ TSM (base 2) at offset -17, length 13, gap 11."""
+    cfg, ref, qry = _load("twin_1000_0.01_ts")
+    cfgN = _narrowed_1000(
+        cfg, rq_qr=(-20, 2), rr_qq=None, max_len=15, rev_gap=(-4, 14),
+        ldiff=(-4, 2),
+    )
+    res = DenseAligner(cfgN, ref, qry).align()
+    assert res.cost == 22

@@ -222,7 +222,7 @@ def main():
         engine=args.engine,
         target_segment=args.target_segment,
         verify=True,
-        progress=False,
+        progress=True,  # partial output is evidence when a run times out
     )
     wall = time.monotonic() - t0
     print(

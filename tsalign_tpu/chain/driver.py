@@ -145,6 +145,7 @@ def _align_segment(
     radius: int,
     use_jax: bool,
     max_template_switches: Optional[int],
+    with_traceback: bool = True,
 ) -> _SegmentOutcome:
     """Align one segment [cut0, cut1] with window-radius context, under the
     K-scaled total-length tie-break algebra (the reference CLI default,
@@ -203,17 +204,21 @@ def _align_segment(
         try:
             from ..jax_engine import JaxAligner
 
-            comp, aln = JaxAligner(
-                cfg_scaled, sub_r, sub_q, prune_range=False, **kw
-            ).align_with_traceback()
+            eng = JaxAligner(cfg_scaled, sub_r, sub_q, prune_range=False, **kw)
+            if with_traceback:
+                comp, aln = eng.align_with_traceback()
+            else:
+                comp = eng.align().cost
         except OverflowError:
             comp = None  # scaled magnitudes exceed int32: numpy fallback
     if comp is None:
         from ..engine import DenseAligner
 
-        comp, aln = DenseAligner(
-            cfg_scaled, sub_r, sub_q, prune_range=True, **kw
-        ).align_with_traceback()
+        eng = DenseAligner(cfg_scaled, sub_r, sub_q, prune_range=True, **kw)
+        if with_traceback:
+            comp, aln = eng.align_with_traceback()
+        else:
+            comp = eng.align().cost
     if comp >= INF:
         raise RuntimeError(
             f"chain_align: segment R[{r0}..{r1}] Q[{q0}..{q1}] has no alignment"
@@ -307,16 +312,30 @@ def chain_align(
     # reference's loop (evaluated cost stopped improving).
     cuts_rejoined = 0
     if verify:
-        merged_memo: dict = {}  # (cut0, cut1) -> outcome; passes repeat windows
+        from ..engine import min_tsm_cost_bound
 
-        def merged_window(cut0, cut1):
-            key = (cut0, cut1)
-            if key not in merged_memo:
-                merged_memo[key] = _align_segment(
+        # Provable-skip certificate: when every part of a window aligned
+        # all-match (cost 0, ts_length 0) and every TSM has positive true
+        # cost, the merged optimum is the same all-match alignment — cost
+        # cannot go below 0, a cost-0 tie-break improvement would need a
+        # zero-cost TSM, and equal (cost, -ts_length) means no rejoin.
+        # Skipping these windows is exact and removes the bulk of the
+        # verification work on near-identical long pairs.
+        all_match_safe = min_tsm_cost_bound(config) > 0
+
+        merged_memo: dict = {}  # (cut0, cut1) -> cost-only probe outcome
+        traced_memo: dict = {}  # (cut0, cut1) -> full outcome (adoption)
+
+        def merged_window(cut0, cut1, with_traceback):
+            # Verification only needs (cost, ts_length) to certify a cut;
+            # the merged ALIGNMENT is computed only for adopted windows.
+            memo = traced_memo if with_traceback else merged_memo
+            if (cut0, cut1) not in memo:
+                memo[(cut0, cut1)] = _align_segment(
                     config, ref, qry, cut0, cut1, radius, use_jax,
-                    max_template_switches,
+                    max_template_switches, with_traceback=with_traceback,
                 )
-            return merged_memo[key]
+            return memo[(cut0, cut1)]
 
         while True:
             changed = False
@@ -328,8 +347,11 @@ def chain_align(
                         sum(o.cost for o in parts),
                         -sum(o.ts_length for o in parts),
                     )
-                    merged_out = merged_window(cuts[s], cuts[s + span])
-                    joined = (merged_out.cost, -merged_out.ts_length)
+                    if all_match_safe and split == (0, 0):
+                        s += 1
+                        continue
+                    probe = merged_window(cuts[s], cuts[s + span], False)
+                    joined = (probe.cost, -probe.ts_length)
                     if joined < split:
                         if progress:
                             print(
@@ -337,6 +359,9 @@ def chain_align(
                                 f"suboptimal ({split} -> {joined}), rejoining",
                                 flush=True,
                             )
+                        merged_out = merged_window(
+                            cuts[s], cuts[s + span], True
+                        )
                         cuts_rejoined += span - 1
                         del cuts[s + 1 : s + span]
                         outcomes[s : s + span] = [merged_out]

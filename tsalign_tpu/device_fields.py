@@ -35,6 +35,30 @@ from .ops.jaxcommon import from_device_costs
 
 _TILE = 64
 
+# Per-fetch transfer budget.  Each tile fetch is one relay RPC round trip
+# with fixed latency that dwarfs the per-byte cost at these sizes, so the
+# right tile is the LARGEST one within a sane transfer budget — at heli
+# shapes (F=1, n~500) a single fetch covers the whole field, and the
+# round-4 52 s record wall (dozens of 64x64 fetches per round) collapses
+# to one fetch per consulted field.
+_FETCH_BUDGET_BYTES = 8 << 20
+
+
+def _auto_tile(shape, rows: int, cols: int, itemsize: int = 4) -> int:
+    """Largest power-of-two tile whose fetch (leading axes x tile^2) stays
+    within the transfer budget, clamped to [_TILE, 1024]."""
+    leading = 1
+    for d in shape[:-2]:
+        leading *= int(d)
+    t = _TILE
+    while (
+        t < 1024
+        and t < max(rows, cols)
+        and leading * (2 * t) * (2 * t) * itemsize <= _FETCH_BUDGET_BYTES
+    ):
+        t *= 2
+    return t
+
 
 @partial(jax.jit, static_argnames=("ti", "tj"))
 def _fetch4(M, i0, j0, *, ti, tj):
@@ -90,7 +114,13 @@ class DeviceField4(_TileBase):
     """Lazy view of one round's primary field (F, 3, n_r+1, n_q+1)."""
 
     def __init__(self, dev, entry_cells: Optional[np.ndarray] = None,
-                 batch_index: Optional[int] = None, tile: int = _TILE):
+                 batch_index: Optional[int] = None,
+                 tile: Optional[int] = None):
+        if tile is None:
+            # Batched fields fetch one pair's tile, so the batch axis does
+            # not count toward the per-fetch transfer budget.
+            eff = dev.shape if batch_index is None else dev.shape[1:]
+            tile = _auto_tile(eff, dev.shape[-2], dev.shape[-1])
         super().__init__(dev, dev.shape[-2], dev.shape[-1], tile)
         self._entry = entry_cells
         self._b = batch_index
@@ -124,7 +154,10 @@ class DeviceField2(_TileBase):
     """Lazy view of one round's reentry field (n_r+1, n_q+1)."""
 
     def __init__(self, dev, batch_index: Optional[int] = None,
-                 tile: int = _TILE):
+                 tile: Optional[int] = None):
+        if tile is None:
+            eff = dev.shape if batch_index is None else dev.shape[1:]
+            tile = _auto_tile(eff, dev.shape[-2], dev.shape[-1])
         super().__init__(dev, dev.shape[-2], dev.shape[-1], tile)
         self._b = batch_index
         self.shape = tuple(dev.shape[-2:])

@@ -25,6 +25,7 @@ a wedged child must be replaced, not waited on.
 import json
 import multiprocessing as mp
 import os
+import queue as _queue
 import sys
 import time
 import tomllib
@@ -215,8 +216,13 @@ def _run_child(target, timeout0, retry_timeout=None, recover=30, stage=None,
         p.start()
         p.join(timeout=timeout0 if attempt == 0 else (retry_timeout or timeout0))
         got = []
-        while not q.empty():
-            got.append(q.get())
+        while True:
+            # get(timeout), not empty(): the mp.Queue feeder thread makes
+            # empty() race the last put even after the child has exited.
+            try:
+                got.append(q.get(timeout=2))
+            except _queue.Empty:
+                break
         if p.is_alive():
             p.kill()
             p.join()

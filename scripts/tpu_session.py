@@ -47,17 +47,24 @@ STEPS = [
     # (CLAUDE.md) — a vicious cycle where every impatient probe causes the
     # wedge the next probe times out on.  Wait the probe out instead.
     ("probe", [sys.executable, "-c", PROBE], 1800, {}),
+    # NB: drain with get(timeout=...), not q.empty() — the mp.Queue feeder
+    # thread makes empty() race the last put (a warm measurement was lost
+    # to this in round 4).
     ("heli_bench", [sys.executable, "-c", (
         "import sys; sys.path.insert(0, %r);"
-        "import multiprocessing as mp, bench;"
-        "q = mp.Queue(); bench._measure(q);\n"
-        "while not q.empty(): print('RESULT', q.get())"
+        "import multiprocessing as mp, queue, bench;"
+        "q = mp.Queue(); bench._measure(q)\n"
+        "while True:\n"
+        "    try: print('RESULT', q.get(timeout=5))\n"
+        "    except queue.Empty: break"
     ) % REPO], 1800, {}),
     ("record", [sys.executable, "-c", (
         "import sys; sys.path.insert(0, %r);"
-        "import multiprocessing as mp, bench;"
-        "q = mp.Queue(); bench._measure_record(q);\n"
-        "while not q.empty(): print('RESULT', q.get())"
+        "import multiprocessing as mp, queue, bench;"
+        "q = mp.Queue(); bench._measure_record(q)\n"
+        "while True:\n"
+        "    try: print('RESULT', q.get(timeout=5))\n"
+        "    except queue.Empty: break"
     ) % REPO], 1200, {}),
     ("goldens", [sys.executable, "scripts/validate_goldens.py", "--cases",
                  "twin_heli_MDC1-AS1_10", "twin_heli_linc01237_114",

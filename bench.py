@@ -5,10 +5,11 @@ statistics block; BASELINE.md).
 
 Prints the headline JSON line IMMEDIATELY after the headline measurement
 (tight child budgets — the driver records the LAST complete JSON line, and
-round-3's bench timed out before printing anything), then runs a time-boxed
-batched-throughput measurement and prints one final enriched line carrying
-the same headline keys plus batched_* keys.  A throughput failure degrades
-to an annotation; it can never mask the headline.
+round-3's bench timed out before printing anything), then the record line,
+then runs a time-boxed batched-throughput measurement and prints one final
+enriched line carrying the same headline keys plus batched_* keys.  A
+throughput failure degrades to an annotation; it can never mask the
+headline.
 
 Keys:
   value / vs_baseline   cost-computation wall (best-of-3 warm) vs 69.62 s
@@ -82,6 +83,15 @@ def _probe(q):
 
 
 def _measure(q):
+    """Headline + end-to-end record measurement, staged in ONE process.
+
+    The record run (K-scaled tie-break engine + device-view traceback +
+    extension + equal-cost ranges — the unit the reference's 69.62 s
+    covers, a_star_aligner.rs:58-161) shares its compiled executables with
+    the cost path: scaling changes table VALUES, not shapes, so running it
+    in the same warm process adds only the traceback tile programs.  A
+    separate record child re-paid every cold compile and blew its budget
+    (round-4: cold 448 s of a 480 s budget, warm never ran)."""
     al, cfg, r_str, q_str, rng = _load_heli()
     from tsalign_tpu.jax_engine import JaxAligner
 
@@ -109,24 +119,15 @@ def _measure(q):
             wall, cells = w, getattr(eng, "cells_swept", 0)
     q.put({"stage": "cost", "cost": res.cost, "wall": wall, "cells": cells})
 
-
-def _measure_record(q):
-    """End-to-end record run in its own child (its cold compiles must not
-    eat the headline child's budget): K-scaled tie-break engine +
-    device-view traceback + extension + equal-cost ranges (the unit the
-    reference's 69.62 s covers, a_star_aligner.rs:58-161).  Verified by
-    exact re-pricing at the golden cost."""
-    al, cfg, r_str, q_str, rng = _load_heli()
+    # End-to-end record: cold (traceback/postprocess compiles) then warm.
     from tsalign_tpu.aligner import Aligner
     from tsalign_tpu.pricing import price_alignment
 
-    ref = al.encode(r_str)
-    qry = al.encode(q_str)
     facade = Aligner(costs=cfg, engine="jax", chunk=128)
     t0 = time.monotonic()
     out = facade.align(r_str, q_str, range_=rng)
     rec_wall = time.monotonic() - t0
-    q.put({"stage": "record_cold", "record_wall": rec_wall})
+    q.put({"stage": "record_cold", "record_cold_wall": rec_wall})
     t0 = time.monotonic()
     out = facade.align(r_str, q_str, range_=rng)  # warm repeat
     rec_wall = min(rec_wall, time.monotonic() - t0)
@@ -261,7 +262,8 @@ def main():
     # 300-600+ s (cold relay), and killing a timed-out TPU client re-wedges
     # the chip for 10-40 min — an impatient probe+retry CAUSES the wedge it
     # then reports (round-4 measurement; CLAUDE.md).  On probe failure we
-    # still print a status line immediately AND attempt the headline once:
+    # still print a status line immediately AND attempt the headline once
+    # (attempts=1: more kill-on-timeout children would re-wedge the chip):
     # the driver has a complete (error) line either way, and a late recovery
     # can only upgrade it.
     probe = _run_child(_probe, 650, recover=0, attempts=1)
@@ -269,7 +271,13 @@ def main():
         out["error"] = "TPU relay unresponsive (650s probe timed out)"
         print(json.dumps(out), flush=True)
 
-    result = _run_child(_measure, 420, recover=45)
+    # Headline + record in one staged child (the record's compiles are
+    # shared with the cost path; budget covers cold+warm of both, and the
+    # staged puts make a timeout after partial progress still report the
+    # completed stages).
+    result = _run_child(
+        _measure, 900, recover=45, attempts=1 if probe is None else 2
+    )
     if result is None or "wall" not in result:
         out["error"] = "TPU wedged mid-headline after retries"
         if result:
@@ -282,7 +290,9 @@ def main():
             value=round(wall, 4),
             vs_baseline=round(BASELINE_SECONDS / wall, 2),
             cost=result["cost"],
-            cost_ok=result["cost"] <= GOLDEN_COST,
+            # Equality, not <=: a cost BELOW the golden optimum would be a
+            # soundness bug, and must read as failure here.
+            cost_ok=result["cost"] == GOLDEN_COST,
             cells_per_sec=int(cps),
             sol_frac=round(cps / SOL_CELLS_PER_SEC, 8),
         )
@@ -290,22 +300,19 @@ def main():
     # has a complete result already.
     print(json.dumps(out), flush=True)
 
-    # End-to-end record run (own child: its compiles must not eat the
-    # headline budget).  Carries the headline keys forward so the final
-    # printed line is always the most enriched complete result.
-    rec = _run_child(_measure_record, 480, recover=45, stage="record")
-    if rec is None or "record_cost" not in rec:
-        out["record_error"] = "record run timed out/wedged"
-        if rec and "record_wall" in rec:
-            out["record_cold_wall"] = round(rec["record_wall"], 4)
-    else:
+    if result and "record_cost" in result:
         out.update(
-            record_wall=round(rec["record_wall"], 4),
-            record_cost=rec["record_cost"],
+            record_wall=round(result["record_wall"], 4),
+            record_cost=result["record_cost"],
             record_ok=(
-                rec["record_cost"] <= GOLDEN_COST and rec["record_reprices"]
+                result["record_cost"] == GOLDEN_COST
+                and result["record_reprices"]
             ),
         )
+    else:
+        out["record_error"] = "record stage did not complete"
+        if result and "record_cold_wall" in result:
+            out["record_cold_wall"] = round(result["record_cold_wall"], 4)
     print(json.dumps(out), flush=True)
 
     # Batched corpus throughput (pairs/sec through the full record pipeline

@@ -58,14 +58,9 @@ STEPS = [
         "    try: print('RESULT', q.get(timeout=5))\n"
         "    except queue.Empty: break"
     ) % REPO], 1800, {}),
-    ("record", [sys.executable, "-c", (
-        "import sys; sys.path.insert(0, %r);"
-        "import multiprocessing as mp, queue, bench;"
-        "q = mp.Queue(); bench._measure_record(q)\n"
-        "while True:\n"
-        "    try: print('RESULT', q.get(timeout=5))\n"
-        "    except queue.Empty: break"
-    ) % REPO], 1200, {}),
+    # NB: bench._measure now stages cost_cold -> cost -> record_cold ->
+    # record in one process (the record shares the cost path's compiled
+    # executables), so heli_bench covers the record measurement too.
     ("goldens", [sys.executable, "scripts/validate_goldens.py", "--cases",
                  "twin_heli_MDC1-AS1_10", "twin_heli_linc01237_114",
                  "underscore", "--chunk", "128"], 1800, {}),

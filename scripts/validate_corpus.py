@@ -11,6 +11,7 @@ K-scaled tie-break, extension, equal-cost ranges).
 Usage: python scripts/validate_corpus.py [max_len] [--config PATH]
 """
 
+import argparse
 import glob
 import os
 import sys
@@ -22,11 +23,13 @@ FIXTURES = "/root/reference/test_files"
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    max_len = int(args[0]) if args else 520
-    cfg_path = "/root/reference/sample_tsa_config/config.tsa"
-    if "--config" in sys.argv:
-        cfg_path = sys.argv[sys.argv.index("--config") + 1]
+    ap = argparse.ArgumentParser()
+    ap.add_argument("max_len", type=int, nargs="?", default=520)
+    ap.add_argument(
+        "--config", default="/root/reference/sample_tsa_config/config.tsa"
+    )
+    args = ap.parse_args()
+    max_len, cfg_path = args.max_len, args.config
 
     from tsalign_tpu.alphabet import get_alphabet
     from tsalign_tpu.config import TemplateSwitchConfig

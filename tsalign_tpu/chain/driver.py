@@ -204,7 +204,15 @@ def _align_segment(
         try:
             from ..jax_engine import JaxAligner
 
-            eng = JaxAligner(cfg_scaled, sub_r, sub_q, prune_range=False, **kw)
+            # Cost-only probes skip field retention entirely (keep_fields
+            # would pin per-round fields the probe never reads); traceback
+            # segments keep fields device-resident and fetch tiles on
+            # demand (device_fields.py) instead of paying a full
+            # (F, 3, n, n) relay transfer per round.
+            eng = JaxAligner(
+                cfg_scaled, sub_r, sub_q, prune_range=False,
+                keep_fields="device" if with_traceback else False, **kw
+            )
             if with_traceback:
                 comp, aln = eng.align_with_traceback()
             else:

@@ -556,3 +556,64 @@ def test_verification_catches_three_segment_structures():
     assert fixed.cost == full
     assert fixed.cuts_rejoined >= 2  # both mid-TSM cuts removed
     assert price_alignment(cfg, ref, qry, fixed.alignment) == fixed.cost
+
+
+def test_footprint_certificate_catches_wide_structures():
+    """Adversarial structure WIDER than the fixed span ladder (VERDICT r4
+    weak #5): a 60 bp revcomp-palindromic TSM inner plants THREE interior
+    cuts, and with the TSM base cost above one divergent stripe's savings
+    there is no partial improvement — every span-2/3 window probes clean,
+    so the fixed ladder can never fire.  The per-cut footprint certificate
+    (one probed window covering a full TSM-footprint radius around every
+    surviving cut, chain/driver.py) must recover the optimum."""
+    import dataclasses
+
+    from tsalign_tpu.config import TemplateSwitchConfig
+    from tsalign_tpu.costs import INF, CostFunction
+
+    al5 = get_alphabet("dna-n")
+    base = TemplateSwitchConfig.parse_plain(_NARROW_CONFIG, al5)
+
+    def window(lo, hi, cost=0):
+        return CostFunction([(-(2**62), INF), (lo, cost), (hi + 1, INF)])
+
+    cfg = dataclasses.replace(
+        base,
+        # Base 25 > one stripe's substitution cost (20): a partial TSM
+        # explaining only one stripe never pays, so no window smaller than
+        # the full footprint improves anything.
+        base_cost={k: 25 for k in base.base_cost},
+        rq_qr_offset_costs=window(-90, 90),
+        rr_qq_offset_costs=window(-90, 90),
+        length_costs=CostFunction([(0, INF), (5, 0), (90, INF)]),
+        length_difference_costs=window(-4, 4),
+    )
+    comp = al5.complement_array()
+
+    rng = np.random.default_rng(7)
+    n = 160
+    ref = rng.integers(0, 4, n).astype(np.int8)
+    # revcomp-palindrome of length 60 centered at 80: the TS inner equals
+    # the reference on [50,110), faking one exact run that takes 3 cuts
+    # (k=4 -> min_run=16, edge=12: cuts at +12, +28, +48)
+    s = rng.integers(0, 4, 30).astype(np.int8)
+    ref[50:110] = np.concatenate([s, comp[s][::-1]]).astype(np.int8)
+    qry = ref.copy()
+    qry[40:120] = comp[ref[40:120]][::-1]
+    assert np.array_equal(qry[50:110], ref[50:110])  # fake exact run
+
+    full = DenseAligner(cfg, ref, qry).align().cost
+    raw = chain_align(
+        cfg, ref, qry, k=4, target_segment=48, engine="numpy", verify=False
+    )
+    assert raw.cost > full  # the chain structure really is wrong
+    limited = chain_align(
+        cfg, ref, qry, k=4, target_segment=48, engine="numpy",
+        verify_spans=(2, 3), certify_footprint=False,
+    )
+    assert limited.cost == raw.cost  # the fixed ladder finds NOTHING
+    assert limited.cuts_rejoined == 0
+    fixed = chain_align(cfg, ref, qry, k=4, target_segment=48, engine="numpy")
+    assert fixed.cost == full
+    assert fixed.cuts_rejoined >= 3  # all mid-TSM cuts removed
+    assert price_alignment(cfg, ref, qry, fixed.alignment) == fixed.cost

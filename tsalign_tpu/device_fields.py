@@ -86,6 +86,45 @@ def _fetch2_b(R, b, i0, j0, *, ti, tj):
     return jax.lax.dynamic_slice(R, (b, i0, j0), (1, ti, tj))[0]
 
 
+@partial(jax.jit, static_argnames=("ti", "tj"))
+def _fetch4_rb(M, r, b, i0, j0, *, ti, tj):
+    """Fused-loop variant: one (round, pair) tile out of the stacked
+    (maxR, B, F, 3, R, Q) round buffer (parallel/fused_rounds.py)."""
+    return jax.lax.dynamic_slice(
+        M, (r, b, 0, 0, i0, j0), (1, 1, M.shape[2], M.shape[3], ti, tj)
+    )[0, 0]
+
+
+@partial(jax.jit, static_argnames=("ti", "tj"))
+def _fetch2_rb(R, r, b, i0, j0, *, ti, tj):
+    return jax.lax.dynamic_slice(R, (r, b, i0, j0), (1, 1, ti, tj))[0, 0]
+
+
+@jax.jit
+def _fetch_layer_rb(E_all, r, b):
+    """One (round, pair) entry layer out of the fused loop's stacked
+    (maxR, B, R, Q) buffer."""
+    return jax.lax.dynamic_slice(
+        E_all, (r, b, 0, 0), (1, 1, E_all.shape[2], E_all.shape[3])
+    )[0, 0]
+
+
+class _FusedEntryLayer:
+    """Lazy entry-layer fetch for fused-loop device views: transfers one
+    (n_r+1, n_q+1) layer on first use, through one shared jitted program."""
+
+    def __init__(self, E_all, r: int, b: int):
+        self._E_all, self._r, self._b = E_all, r, b
+        self._host: Optional[np.ndarray] = None
+
+    def __call__(self) -> np.ndarray:
+        if self._host is None:
+            self._host = from_device_costs(
+                np.asarray(_fetch_layer_rb(self._E_all, self._r, self._b))
+            )
+        return self._host
+
+
 class _TileBase:
     """Tile cache over the trailing two (cell) axes of a device array."""
 
@@ -113,20 +152,28 @@ class _TileBase:
 class DeviceField4(_TileBase):
     """Lazy view of one round's primary field (F, 3, n_r+1, n_q+1)."""
 
-    def __init__(self, dev, entry_cells: Optional[np.ndarray] = None,
+    def __init__(self, dev, entry_cells=None,
                  batch_index: Optional[int] = None,
-                 tile: Optional[int] = None):
+                 tile: Optional[int] = None,
+                 rb: Optional[tuple] = None):
         if tile is None:
-            # Batched fields fetch one pair's tile, so the batch axis does
-            # not count toward the per-fetch transfer budget.
-            eff = dev.shape if batch_index is None else dev.shape[1:]
+            # Batched/fused fields fetch one pair's tile, so the leading
+            # batch/round axes do not count toward the transfer budget.
+            lead = 2 if rb is not None else (1 if batch_index is not None else 0)
+            eff = dev.shape[lead:]
             tile = _auto_tile(eff, dev.shape[-2], dev.shape[-1])
         super().__init__(dev, dev.shape[-2], dev.shape[-1], tile)
+        # entry_cells: host array, or a lazy callable (_FusedEntryLayer)
         self._entry = entry_cells
         self._b = batch_index
+        self._rb = rb
         self.shape = tuple(dev.shape[-4:])
 
     def _fetch(self, i0, j0):
+        if self._rb is not None:
+            return _fetch4_rb(
+                self._dev, *self._rb, i0, j0, ti=self._ti, tj=self._tj
+            )
         if self._b is None:
             return _fetch4(self._dev, i0, j0, ti=self._ti, tj=self._tj)
         return _fetch4_b(
@@ -141,7 +188,10 @@ class DeviceField4(_TileBase):
     def entry_cells(self) -> np.ndarray:
         """The round's entry layer ``M[-1].min(axis=0)`` in host int64.
         Served from the stored round-loop summary when available (no device
-        work); falls back to a device reduction over the top flank layer."""
+        work), or lazily through the fused-loop layer fetcher; falls back
+        to a device reduction over the top flank layer."""
+        if callable(self._entry):
+            self._entry = self._entry()
         if self._entry is None:
             top = (
                 self._dev[-1] if self._b is None else self._dev[self._b, -1]
@@ -154,15 +204,22 @@ class DeviceField2(_TileBase):
     """Lazy view of one round's reentry field (n_r+1, n_q+1)."""
 
     def __init__(self, dev, batch_index: Optional[int] = None,
-                 tile: Optional[int] = None):
+                 tile: Optional[int] = None,
+                 rb: Optional[tuple] = None):
         if tile is None:
-            eff = dev.shape if batch_index is None else dev.shape[1:]
+            lead = 2 if rb is not None else (1 if batch_index is not None else 0)
+            eff = dev.shape[lead:]
             tile = _auto_tile(eff, dev.shape[-2], dev.shape[-1])
         super().__init__(dev, dev.shape[-2], dev.shape[-1], tile)
         self._b = batch_index
+        self._rb = rb
         self.shape = tuple(dev.shape[-2:])
 
     def _fetch(self, i0, j0):
+        if self._rb is not None:
+            return _fetch2_rb(
+                self._dev, *self._rb, i0, j0, ti=self._ti, tj=self._tj
+            )
         if self._b is None:
             return _fetch2(self._dev, i0, j0, ti=self._ti, tj=self._tj)
         return _fetch2_b(

@@ -155,6 +155,18 @@ def _bucket(n: int) -> int:
     return b
 
 
+# Content-keyed memos across BatchedTSAligner instances (the single-pair
+# engine's _KINDS_MEMO/_LB_MEMO reasoning, jax_engine.py): the per-pair
+# remaining bounds, the stacked kind state (device-resident _fixed tensors
+# + batch module fields) and the stacked sweep arrays are pure functions of
+# (config, padded pair bytes, ...), and rebuilding them dominated the warm
+# batched wall (a fresh aligner instance per run is the natural API).  Each
+# memo keeps ONE entry (the tensors are ~MBs of HBM).
+_BATCH_BOUNDS_MEMO: dict = {}
+_BATCH_KINDS_MEMO: dict = {}
+_BATCH_ARRAYS_MEMO: dict = {}
+
+
 class BatchedTSAligner:
     """Batched TS alignment over equal-bucket pairs (costs + traceback)."""
 
@@ -231,14 +243,25 @@ class BatchedTSAligner:
         None entries mean the relaxed iteration does not apply for that
         pair's padded grid."""
         if not hasattr(self, "_lb_cache"):
+            from ..chain.plan import config_digest
             from ..lower_bounds import compute_remaining_bound
 
-            self._lb_cache = [
-                compute_remaining_bound(
-                    self.config, self.refs[i], self.qrys[i], lr, lq
-                )
-                for i, (lr, lq) in enumerate(self.real)
-            ]
+            key = (
+                config_digest(self.config),
+                self.refs.tobytes(),
+                self.qrys.tobytes(),
+                tuple(self.real),
+            )
+            if key not in _BATCH_BOUNDS_MEMO:
+                bounds = [
+                    compute_remaining_bound(
+                        self.config, self.refs[i], self.qrys[i], lr, lq
+                    )
+                    for i, (lr, lq) in enumerate(self.real)
+                ]
+                _BATCH_BOUNDS_MEMO.clear()
+                _BATCH_BOUNDS_MEMO[key] = bounds
+            self._lb_cache = _BATCH_BOUNDS_MEMO[key]
         return self._lb_cache
 
     def _pruned_entry_pair(self, i: int, E_i: np.ndarray, best: int) -> np.ndarray:
@@ -289,6 +312,25 @@ class BatchedTSAligner:
         return b
 
     def _build_kind_sets(self, budget: Optional[int]) -> None:
+        from ..chain.plan import config_digest
+
+        key = (
+            config_digest(self.config),
+            self.refs.tobytes(),
+            self.qrys.tobytes(),
+            tuple(self.real),
+            self.chunk,
+            budget,
+        )
+        if key in _BATCH_KINDS_MEMO:
+            self.sdel_budget = budget
+            self.kind_sets, self._kind_state = _BATCH_KINDS_MEMO[key]
+            return
+        self._build_kind_sets_uncached(budget)
+        _BATCH_KINDS_MEMO.clear()
+        _BATCH_KINDS_MEMO[key] = (self.kind_sets, self._kind_state)
+
+    def _build_kind_sets_uncached(self, budget: Optional[int]) -> None:
         self.sdel_budget = budget
         self.kind_sets = []
         for i in range(self.n_pairs):
@@ -488,13 +530,211 @@ class BatchedTSAligner:
             sync_point(R_dev, f"batch fold pk={spec.pk}")
         return R_dev
 
+    def _stack_sweep_arrays(self):
+        from ..chain.plan import config_digest
+
+        memo_key = (
+            config_digest(self.config),
+            self.refs.tobytes(),
+            self.qrys.tobytes(),
+        )
+        if memo_key in _BATCH_ARRAYS_MEMO:
+            return _BATCH_ARRAYS_MEMO[memo_key]
+        out = self._stack_sweep_arrays_uncached()
+        _BATCH_ARRAYS_MEMO.clear()
+        _BATCH_ARRAYS_MEMO[memo_key] = out
+        return out
+
+    def _stack_sweep_arrays_uncached(self):
+        out = {}
+        for key in ("p", "l", "r"):
+            name = {"p": "primary", "l": "left", "r": "right"}[key]
+            out[key] = tuple(
+                jnp.stack([jnp.asarray(s._rows[name][j]) for s in self.sweeps])
+                for j in range(3)
+            )
+        out["ins"] = {
+            name: tuple(
+                jnp.stack([jnp.asarray(s._ins[name][j]) for s in self.sweeps])
+                for j in range(2)
+            )
+            for name in ("primary", "left", "right")
+        }
+        return out
+
     def align(self, mesh=None) -> List[JaxEngineResult]:
         """Per-pair engine results (exact optimum each), batch-lockstep.
 
-        With `mesh` (a jax.sharding.Mesh with axis "data"), the batch
-        dimension of every stacked array is sharded across the mesh; the
-        vmapped kernels then run SPMD with XLA inserting the collectives.
+        Single-device batches run the FUSED rounds loop by default — the
+        whole lockstep iteration as one `lax.while_loop` dispatch
+        (parallel/fused_rounds.py; the remote-relay RPC per dispatch
+        dominated the warm batched wall, BENCH_r04).  The host loop below
+        remains the executable spec, the mesh/SPMD path, and the fallback
+        (TSALIGN_NO_FUSED=1 forces it).
         """
+        import os
+
+        if mesh is None and not os.environ.get("TSALIGN_NO_FUSED"):
+            results = self._align_fused()
+            if results is not None:
+                return results
+        return self._align_host(mesh)
+
+    def _align_fused(self) -> Optional[List[JaxEngineResult]]:
+        from .fused_rounds import _fused_loop, build_meta_and_data
+
+        B = self.n_pairs
+        keep = bool(self.keep_fields)
+        F = self.config.left_flank_length + self.config.right_flank_length + 1
+        arrays_b = self._stack_sweep_arrays()
+        seeds0 = np.full((B, F, 3, self.nr + 1, self.nq + 1), INF, np.int64)
+        for i in range(B):
+            seeds0[i, self.config.right_flank_length, GAP_NONE, 0, 0] = 0
+        root_dev = jnp.asarray(np.asarray(to_device_costs(seeds0)))
+        lr_idx = jnp.asarray([r for r, _ in self.real], jnp.int32)
+        lq_idx = jnp.asarray([q for _, q in self.real], jnp.int32)
+        M0_dev = sync_point(
+            _sweep_batch_jit(
+                root_dev, arrays_b,
+                L=self.config.left_flank_length,
+                R=self.config.right_flank_length,
+                climb=True,
+            ),
+            "fused round-0 sweep",
+        )
+        E0_dev, tv_b = _summ_batch_jit(M0_dev, lr_idx, lq_idx)
+        tv = np.asarray(tv_b)
+        best0 = [
+            INF if int(t.min()) >= int(DEV_INF) // 2 else int(t.min())
+            for t in tv
+        ]
+        results = [JaxEngineResult(cost=INF, rounds=1) for _ in range(B)]
+
+        # Host fast path: every pair already provably done at round 1 (the
+        # k*delta bound or the TSLB improvement stop) — exact-match pairs
+        # and trivial segments skip kind/bound construction entirely.
+        delta = min_tsm_cost_bound(self.config)
+        E0_host = None
+        if all(b < INF for b in best0):
+            E0_host = np.asarray(E0_dev)
+            all_done1 = all(
+                (delta > 0 and delta > best0[i])
+                or not self._can_improve_pair(i, E0_host[i], best0[i])
+                for i in range(B)
+            )
+            if all_done1:
+                for i in range(B):
+                    results[i].cost = best0[i]
+                self._keep_fused_fields(
+                    results, M0_dev, None, None, E0_dev,
+                    np.ones(B, np.int32), np.zeros(B, np.int32),
+                )
+                return results
+
+        if self.kind_sets is None:
+            logger.debug("batch fused: build_kind_sets")
+            self._build_kind_sets(self._derive_budget(best0))
+        meta, data = build_meta_and_data(
+            self, arrays_b, root_dev, M0_dev, E0_dev, best0, keep
+        )
+        try:
+            out = _fused_loop(data, meta=meta)
+        except Exception as e:
+            # Mosaic compile rejection of a Pallas module kernel inside the
+            # fused program: downgrade every Pallas kind and retry once.
+            from ..jax_engine import _module_pallas_fallback
+
+            pallas_kinds = [
+                km0 for km0, *_ in self._kind_state
+                if km0._static.use_pallas
+            ]
+            if not pallas_kinds:
+                logger.warning(
+                    "fused rounds loop failed (%s: %s); falling back to the "
+                    "host loop", type(e).__name__, str(e)[:300],
+                )
+                return None
+            for km0 in pallas_kinds:
+                _module_pallas_fallback(km0, e)
+            meta, data = build_meta_and_data(
+                self, arrays_b, root_dev, M0_dev, E0_dev, best0, keep
+            )
+            try:
+                out = _fused_loop(data, meta=meta)
+            except Exception as e2:
+                logger.warning(
+                    "fused rounds loop failed after Pallas fallback "
+                    "(%s: %s); falling back to the host loop",
+                    type(e2).__name__, str(e2)[:300],
+                )
+                return None
+        sync_point(out["best"], "fused rounds loop")
+        done = np.asarray(out["done"])
+        if not done.all():
+            raise RuntimeError(
+                f"BatchedTSAligner: not all pairs converged within "
+                f"max_rounds={self.max_rounds}"
+            )
+        best = np.asarray(out["best"])
+        rounds = np.asarray(out["rounds"])
+        for i in range(B):
+            results[i].cost = (
+                INF if int(best[i]) >= int(DEV_INF) // 2 else int(best[i])
+            )
+            results[i].rounds = int(rounds[i])
+        if keep:
+            self._keep_fused_fields(
+                results, out["M_all"], out["R_all"], out["E_all"], None,
+                np.asarray(out["np_cnt"]), np.asarray(out["nr_cnt"]),
+            )
+        return results
+
+    def _keep_fused_fields(self, results, M_all, R_all, E_all, E0_dev,
+                           np_cnt, nr_cnt):
+        """Reconstruct per-pair field lists from the fused loop's stacked
+        round buffers (liveness is a prefix — done is monotone — so pair
+        i's fields are exactly the first np_cnt[i]/nr_cnt[i] slots)."""
+        if not self.keep_fields:
+            return
+        B = self.n_pairs
+        if self.keep_fields is True:
+            M_host = np.asarray(M_all)
+            R_host = np.asarray(R_all) if R_all is not None else None
+            for i in range(B):
+                for r in range(int(np_cnt[i])):
+                    fld = M_host[r, i] if M_host.ndim == 6 else M_host[i]
+                    results[i].primary_fields.append(from_device_costs(fld))
+                for r in range(int(nr_cnt[i])):
+                    results[i].reentry_fields.append(
+                        from_device_costs(R_host[r, i])
+                    )
+            return
+        from ..device_fields import (
+            DeviceField2,
+            DeviceField4,
+            _FusedEntryLayer,
+        )
+
+        for i in range(B):
+            for r in range(int(np_cnt[i])):
+                if E_all is not None:
+                    entry = _FusedEntryLayer(E_all, r, i)
+                else:
+                    entry = from_device_costs(np.asarray(E0_dev[i]))
+                if M_all.ndim == 6:
+                    results[i].primary_fields.append(
+                        DeviceField4(M_all, entry_cells=entry, rb=(r, i))
+                    )
+                else:
+                    results[i].primary_fields.append(
+                        DeviceField4(M_all, entry_cells=entry, batch_index=i)
+                    )
+            for r in range(int(nr_cnt[i])):
+                results[i].reentry_fields.append(
+                    DeviceField2(R_all, rb=(r, i))
+                )
+
+    def _align_host(self, mesh=None) -> List[JaxEngineResult]:
         B = self.n_pairs
         shard = None
         if mesh is not None:
@@ -506,24 +746,7 @@ class BatchedTSAligner:
 
         F = self.config.left_flank_length + self.config.right_flank_length + 1
 
-        def stack_sweep_arrays():
-            out = {}
-            for key in ("p", "l", "r"):
-                name = {"p": "primary", "l": "left", "r": "right"}[key]
-                out[key] = tuple(
-                    jnp.stack([jnp.asarray(s._rows[name][j]) for s in self.sweeps])
-                    for j in range(3)
-                )
-            out["ins"] = {
-                name: tuple(
-                    jnp.stack([jnp.asarray(s._ins[name][j]) for s in self.sweeps])
-                    for j in range(2)
-                )
-                for name in ("primary", "left", "right")
-            }
-            return out
-
-        arrays_b = stack_sweep_arrays()
+        arrays_b = self._stack_sweep_arrays()
         if shard is not None:
             arrays_b = jax.tree_util.tree_map(shard, arrays_b)
         def sweep_v(seeds, arrays):

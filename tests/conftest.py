@@ -29,6 +29,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REFERENCE_DIR = "/root/reference"
 
 
+def pytest_collection_modifyitems(config, items):
+    """Skip @pytest.mark.slow tests by default (suite budget, VERDICT r4
+    weak #4); TSALIGN_SLOW=1 or an explicit -m selection runs them."""
+    import pytest
+
+    if os.environ.get("TSALIGN_SLOW") or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="slow pin (set TSALIGN_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 def reference_path(*parts):
     return os.path.join(REFERENCE_DIR, *parts)
 

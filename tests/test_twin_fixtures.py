@@ -114,6 +114,8 @@ def _narrowed_1000(cfg, rq_qr, rr_qq, max_len, rev_gap, ldiff):
     )
 
 
+@pytest.mark.slow  # ~290 s: 38% of the whole default suite (VERDICT r4 #4);
+# the cheaper 001ts pin below keeps the narrowed-window 1 kb class in CI
 def test_twin_1000_5ts_narrowed_pin():
     """Device-validated optimum 16: 5 reverse TSMs with offsets in
     {-20..-19, +11, +14}, inner lengths 9-14, anti-gaps -5..17."""

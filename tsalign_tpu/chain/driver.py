@@ -136,28 +136,18 @@ class _SegmentOutcome:
     alignment: Alignment
 
 
-def _align_segment(
+def _exact_shortcut(
     config: TemplateSwitchConfig,
     ref: np.ndarray,
     qry: np.ndarray,
     cut0: Tuple[int, int],
     cut1: Tuple[int, int],
-    radius: int,
-    use_jax: bool,
-    max_template_switches: Optional[int],
-    with_traceback: bool = True,
-) -> _SegmentOutcome:
-    """Align one segment [cut0, cut1] with window-radius context, under the
-    K-scaled total-length tie-break algebra (the reference CLI default,
-    align.rs:115-117).  Per-segment scaling composes lexicographically:
-    cuts make segments independent, so the global (cost, -ts_length)
-    optimum is the segment-wise one."""
-    n_r, n_q = len(ref), len(qry)
+) -> Optional[_SegmentOutcome]:
+    """Exact-match short-circuit: when the focus pair is identical and every
+    TSM has positive true cost, the all-match alignment (cost 0, zero TS
+    length) is the unique lexicographic optimum — most segments of
+    near-identical long pairs take this path and skip the engine."""
     (r0, q0), (r1, q1) = cut0, cut1
-    # Exact-match short-circuit: when the focus pair is identical and every
-    # TSM has positive true cost, the all-match alignment (cost 0, zero TS
-    # length) is the unique lexicographic optimum — most segments of
-    # near-identical long pairs take this path and skip the engine.
     if (
         r1 - r0 == q1 - q0
         and config.left_flank_length == 0
@@ -177,6 +167,30 @@ def _align_segment(
             if r1 > r0:
                 aln.push(PRIMARY_MATCH, r1 - r0)
             return _SegmentOutcome(cost=0, ts_length=0, alignment=aln)
+    return None
+
+
+def _align_segment(
+    config: TemplateSwitchConfig,
+    ref: np.ndarray,
+    qry: np.ndarray,
+    cut0: Tuple[int, int],
+    cut1: Tuple[int, int],
+    radius: int,
+    use_jax: bool,
+    max_template_switches: Optional[int],
+    with_traceback: bool = True,
+) -> _SegmentOutcome:
+    """Align one segment [cut0, cut1] with window-radius context, under the
+    K-scaled total-length tie-break algebra (the reference CLI default,
+    align.rs:115-117).  Per-segment scaling composes lexicographically:
+    cuts make segments independent, so the global (cost, -ts_length)
+    optimum is the segment-wise one."""
+    n_r, n_q = len(ref), len(qry)
+    (r0, q0), (r1, q1) = cut0, cut1
+    sc = _exact_shortcut(config, ref, qry, cut0, cut1)
+    if sc is not None:
+        return sc
     cr0, cq0 = max(0, r0 - radius), max(0, q0 - radius)
     cr1, cq1 = min(n_r, r1 + radius), min(n_q, q1 + radius)
     sub_r = ref[cr0:cr1]
@@ -193,6 +207,13 @@ def _align_segment(
     cfg_scaled = config.scaled_for_length_tiebreak(K)
     kw = dict(
         range_=rng,
+        # TSLB bounds are a speed trade on segments (exact either way):
+        # narrow-window configs converge in 2-3 cheap rounds and the value
+        # iteration dominates (91% of a profiled multi-kb chain wall);
+        # wide-window configs have expensive module sweeps where the
+        # bound's early stops pay for themselves (measured 33 s vs 73 s on
+        # the wide-window adversarial test).
+        use_lower_bounds=radius > 64,
         # The numpy engine prunes to the focus range (exact context
         # bounding); the device engine runs NoPrune over the poisoned
         # bucket so segment shapes share compilations — primary roaming
@@ -233,6 +254,81 @@ def _align_segment(
         )
     cost = -(-comp // K)
     return _SegmentOutcome(cost=cost, ts_length=K * cost - comp, alignment=aln)
+
+
+def _align_segments_batched(
+    config: TemplateSwitchConfig,
+    ref: np.ndarray,
+    qry: np.ndarray,
+    windows: List[Tuple[Tuple[int, int], Tuple[int, int]]],
+    radius: int,
+    with_traceback: bool,
+) -> Optional[List[Optional[_SegmentOutcome]]]:
+    """Batched device execution of engine-needing windows: segments are
+    bucketed by their padded context shape and each bucket runs ONE
+    lockstep batched engine (BatchedTSAligner with per-segment focus
+    ranges — the fused while_loop makes a whole bucket a single device
+    dispatch).  This is what makes chained mode viable on the remote-relay
+    TPU: the per-segment path paid per-segment host builds and per-round
+    dispatch RPCs for every island (the round-4 chain100k device run timed
+    out on exactly that).  Returns None when the K-scaled algebra would
+    overflow the device int32 domain (caller falls back per-segment)."""
+    from ..parallel.batch_ts import BatchedTSAligner
+
+    n_r, n_q = len(ref), len(qry)
+    P = config.alphabet.size
+    prepped = []  # (bucket_key, index, sub_r, sub_q, rng)
+    for idx, (cut0, cut1) in enumerate(windows):
+        (r0, q0), (r1, q1) = cut0, cut1
+        cr0, cq0 = max(0, r0 - radius), max(0, q0 - radius)
+        cr1, cq1 = min(n_r, r1 + radius), min(n_q, q1 + radius)
+        sub_r, sub_q = ref[cr0:cr1], qry[cq0:cq1]
+        br, bq = _bucket(len(sub_r)), _bucket(len(sub_q))
+        sub_r = np.concatenate([sub_r, np.full(br - len(sub_r), P, sub_r.dtype)])
+        sub_q = np.concatenate([sub_q, np.full(bq - len(sub_q), P, sub_q.dtype)])
+        rng = AlignmentRange(r0 - cr0, q0 - cq0, r1 - cr0, q1 - cq0)
+        prepped.append(((br, bq), idx, sub_r, sub_q, rng))
+
+    out: List[Optional[_SegmentOutcome]] = [None] * len(windows)
+    groups: dict = {}
+    for key, idx, sub_r, sub_q, rng in prepped:
+        groups.setdefault(key, []).append((idx, sub_r, sub_q, rng))
+    # Sub-batch cap: traceback mode keeps max_rounds+1 stacked round fields
+    # in HBM per batch (fused loop), so bound the batch size.
+    cap = 12 if with_traceback else 48
+    for (br, bq), items in sorted(groups.items()):
+        K = 1
+        while K < br + bq + 2:
+            K *= 2
+        cfg_scaled = config.scaled_for_length_tiebreak(K)
+        for c0 in range(0, len(items), cap):
+            chunk_items = items[c0 : c0 + cap]
+            pairs = [(sr, sq) for _, sr, sq, _ in chunk_items]
+            ranges = [rng for *_, rng in chunk_items]
+            try:
+                bt = BatchedTSAligner(
+                    cfg_scaled, pairs, ranges=ranges,
+                    keep_fields="device" if with_traceback else False,
+                    use_lower_bounds=radius > 64,
+                )
+                if with_traceback:
+                    traced = bt.align_with_traceback()
+                else:
+                    traced = [(r.cost, None) for r in bt.align()]
+            except OverflowError:
+                return None
+            for (idx, *_), (comp, aln) in zip(chunk_items, traced):
+                if comp >= INF:
+                    (r0, q0), (r1, q1) = windows[idx]
+                    raise RuntimeError(
+                        f"chain_align: segment R[{r0}..{r1}] Q[{q0}..{q1}] "
+                        f"has no alignment"
+                    )
+                cost = -(-comp // K)
+                out[idx] = _SegmentOutcome(
+                    cost=cost, ts_length=K * cost - comp, alignment=aln
+                )
+    return out
 
 
 def chain_align(
@@ -290,20 +386,45 @@ def chain_align(
         except Exception:
             use_jax = False
 
-    outcomes: List[_SegmentOutcome] = []
+    # Segment execution: exact-match short-circuits first (host, free),
+    # then — on the device engine — ALL remaining segments batched per
+    # bucket shape (each bucket one fused lockstep dispatch,
+    # _align_segments_batched); the per-segment loop is the numpy path and
+    # the fallback.
+    outcomes: List[Optional[_SegmentOutcome]] = [None] * (len(cuts) - 1)
+    engine_windows: List[Tuple[int, Tuple, Tuple]] = []
     for s, (cut0, cut1) in enumerate(zip(cuts, cuts[1:])):
-        if progress:
-            print(
-                f"segment {s + 1}/{len(cuts) - 1}: "
-                f"R[{cut0[0]}..{cut1[0]}] Q[{cut0[1]}..{cut1[1]}]",
-                flush=True,
-            )
-        outcomes.append(
-            _align_segment(
+        sc = _exact_shortcut(config, ref, qry, cut0, cut1)
+        if sc is not None:
+            outcomes[s] = sc
+        else:
+            engine_windows.append((s, cut0, cut1))
+    if progress:
+        print(
+            f"segments: {len(outcomes)} total, {len(engine_windows)} need "
+            f"the engine", flush=True,
+        )
+    batched = None
+    if use_jax and engine_windows and max_template_switches is None:
+        batched = _align_segments_batched(
+            config, ref, qry, [(c0, c1) for _, c0, c1 in engine_windows],
+            radius, with_traceback=True,
+        )
+    if batched is not None:
+        for (s, _c0, _c1), out in zip(engine_windows, batched):
+            outcomes[s] = out
+    else:
+        for n_done, (s, cut0, cut1) in enumerate(engine_windows):
+            if progress:
+                print(
+                    f"segment {n_done + 1}/{len(engine_windows)}: "
+                    f"R[{cut0[0]}..{cut1[0]}] Q[{cut0[1]}..{cut1[1]}]",
+                    flush=True,
+                )
+            outcomes[s] = _align_segment(
                 config, ref, qry, cut0, cut1, radius, use_jax,
                 max_template_switches,
             )
-        )
     segments = len(outcomes)
 
     # Verification pass: convergence analog of the reference's
@@ -346,14 +467,70 @@ def chain_align(
                 )
             return memo[(cut0, cut1)]
 
-        def try_window(s, span):
-            """Probe the merged window over outcomes[s:s+span]; rejoin its
-            interior cuts when the merge wins.  Returns True on rejoin."""
+        fp = radius
+
+        def cert_window(i):
+            """Minimal cut-index window covering [cuts[i] - fp, cuts[i] + fp]
+            on both axes (the footprint certificate's probe window)."""
+            cr, cq = cuts[i]
+            ja = 0
+            for j in range(i - 1, -1, -1):
+                if cuts[j][0] <= cr - fp and cuts[j][1] <= cq - fp:
+                    ja = j
+                    break
+            jb = len(cuts) - 1
+            for j in range(i + 1, len(cuts)):
+                if cuts[j][0] >= cr + fp and cuts[j][1] >= cq + fp:
+                    jb = j
+                    break
+            return ja, jb
+
+        def window_split(s, span):
             parts = outcomes[s : s + span]
-            split = (
+            return (
                 sum(o.cost for o in parts),
                 -sum(o.ts_length for o in parts),
             )
+
+        def prefetch_pass():
+            """Batch this pass's candidate probe windows through the device
+            engine (one fused dispatch per bucket shape) so the sequential
+            rejoin logic below hits the memo — the per-window probe path
+            paid a full engine run per window over the relay."""
+            wanted, seen = [], set()
+
+            def want(s, span):
+                if s < 0 or s + span > len(outcomes):
+                    return
+                if all_match_safe and window_split(s, span) == (0, 0):
+                    return
+                w = (cuts[s], cuts[s + span])
+                if w not in merged_memo and w not in seen:
+                    seen.add(w)
+                    wanted.append(w)
+
+            for span in verify_spans:
+                for s in range(0, len(outcomes) - span + 1):
+                    want(s, span)
+            if certify_footprint:
+                for i in range(1, len(cuts) - 1):
+                    ja, jb = cert_window(i)
+                    if jb - ja > max(verify_spans):
+                        want(ja, jb - ja)
+            if not wanted:
+                return
+            probed = _align_segments_batched(
+                config, ref, qry, wanted, radius, with_traceback=False
+            )
+            if probed is None:
+                return  # int32 overflow: per-window probes fall back
+            for w, o in zip(wanted, probed):
+                merged_memo[w] = o
+
+        def try_window(s, span):
+            """Probe the merged window over outcomes[s:s+span]; rejoin its
+            interior cuts when the merge wins.  Returns True on rejoin."""
+            split = window_split(s, span)
             if all_match_safe and split == (0, 0):
                 return False
             probe = merged_window(cuts[s], cuts[s + span], False)
@@ -374,6 +551,8 @@ def chain_align(
 
         while True:
             changed = False
+            if use_jax and max_template_switches is None:
+                prefetch_pass()
             # Base ladder: cheap fixed spans first (they catch the common
             # single- and double-cut structures with small windows).
             for span in verify_spans:

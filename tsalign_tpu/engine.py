@@ -65,6 +65,7 @@ class DenseAligner:
         allow_secondary_deletions: bool = True,
         max_rounds: int = 32,
         allowed_primaries=(0, 1),
+        use_lower_bounds: bool = True,
     ):
         self.config = config
         self.allowed_primaries = tuple(allowed_primaries)
@@ -76,6 +77,12 @@ class DenseAligner:
         self.prune_range = prune_range
         self.allow_sdel = allow_secondary_deletions
         self.max_rounds = max_rounds
+        # use_lower_bounds=False skips the TSLB value iteration entirely
+        # (exact either way — pruning falls back to the global thresholds):
+        # on SMALL problems (chained-mode verification probes) the bound
+        # costs more to build than it saves (~1.3 s vs sub-second sweeps,
+        # 91% of a profiled chain_align wall).
+        self.use_lower_bounds = use_lower_bounds
 
         if prune_range:
             sweep_range = self.range
@@ -267,6 +274,8 @@ class DenseAligner:
         value iteration does not apply (zero-cost-TSM configs)."""
         from .lower_bounds import compute_remaining_bound
 
+        if not self.use_lower_bounds:
+            return None
         if not hasattr(self, "_lb_cache"):
             self._lb_cache = compute_remaining_bound(
                 self.config,

@@ -146,7 +146,9 @@ class JaxAligner:
         chunk: int = 64,
         keep_fields: bool = True,
         allowed_primaries=(0, 1),
+        use_lower_bounds: bool = True,
     ):
+        self.use_lower_bounds = use_lower_bounds
         self.config = config
         self.allowed_primaries = tuple(allowed_primaries)
         self.ref = np.asarray(reference)
@@ -244,6 +246,8 @@ class JaxAligner:
         (config, sequences, target limits), and repeated runs on the same
         pair (benchmarks, retries) would otherwise pay the ~0.5-1 s
         value iteration every time."""
+        if not self.use_lower_bounds:
+            return None  # skip the value iteration (see engine.DenseAligner)
         if not hasattr(self, "_lb_cache"):
             from .chain.plan import config_digest
             from .lower_bounds import compute_remaining_bound

@@ -177,14 +177,30 @@ class BatchedTSAligner:
         max_rounds: int = 32,
         chunk: int = 64,
         keep_fields: bool = False,
+        ranges: Optional[Sequence[AlignmentRange]] = None,
+        use_lower_bounds: bool = True,
     ):
+        """`ranges`: optional per-pair focus ranges (chained-mode segments
+        align a focus window inside radius context, chain/driver.py): the
+        root seed sits at each pair's (reference_offset, query_offset) and
+        the target at its limits; the primary roams the whole padded grid
+        (NoPrune semantics, as the single-pair segment path)."""
         self.config = config
+        self.use_lower_bounds = use_lower_bounds
         self.n_pairs = len(pairs)
         P = config.alphabet.size
         nr = _bucket(max(len(r) for r, _ in pairs))
         nq = _bucket(max(len(q) for _, q in pairs))
         self.nr, self.nq = nr, nq
         self.real = [(len(r), len(q)) for r, q in pairs]
+        self.ranges = (
+            list(ranges)
+            if ranges is not None
+            else [AlignmentRange.complete(lr, lq) for lr, lq in self.real]
+        )
+        self.limits = [
+            (rg.reference_limit, rg.query_limit) for rg in self.ranges
+        ]
         self.refs = np.full((self.n_pairs, nr), P, dtype=np.int8)
         self.qrys = np.full((self.n_pairs, nq), P, dtype=np.int8)
         for i, (r, q) in enumerate(pairs):
@@ -242,6 +258,8 @@ class BatchedTSAligner:
         """Per-pair admissible remaining-cost bounds (lower_bounds.py);
         None entries mean the relaxed iteration does not apply for that
         pair's padded grid."""
+        if not self.use_lower_bounds:
+            return [None] * self.n_pairs  # see engine.DenseAligner
         if not hasattr(self, "_lb_cache"):
             from ..chain.plan import config_digest
             from ..lower_bounds import compute_remaining_bound
@@ -251,13 +269,14 @@ class BatchedTSAligner:
                 self.refs.tobytes(),
                 self.qrys.tobytes(),
                 tuple(self.real),
+                tuple(self.limits),
             )
             if key not in _BATCH_BOUNDS_MEMO:
                 bounds = [
                     compute_remaining_bound(
-                        self.config, self.refs[i], self.qrys[i], lr, lq
+                        self.config, self.refs[i], self.qrys[i], rl, ql
                     )
-                    for i, (lr, lq) in enumerate(self.real)
+                    for i, (rl, ql) in enumerate(self.limits)
                 ]
                 _BATCH_BOUNDS_MEMO.clear()
                 _BATCH_BOUNDS_MEMO[key] = bounds
@@ -575,9 +594,17 @@ class BatchedTSAligner:
         import os
 
         if mesh is None and not os.environ.get("TSALIGN_NO_FUSED"):
-            results = self._align_fused()
-            if results is not None:
-                return results
+            # Default ON off-CPU.  XLA:CPU takes minutes to compile the
+            # fused program at wide-window configs (measured ~4 min for the
+            # sample config's 128 bucket), so CPU runs opt in explicitly
+            # (TSALIGN_FUSED=1; tests/test_fused_rounds.py).
+            if (
+                os.environ.get("TSALIGN_FUSED") == "1"
+                or jax.default_backend() != "cpu"
+            ):
+                results = self._align_fused()
+                if results is not None:
+                    return results
         return self._align_host(mesh)
 
     def _align_fused(self) -> Optional[List[JaxEngineResult]]:
@@ -589,10 +616,14 @@ class BatchedTSAligner:
         arrays_b = self._stack_sweep_arrays()
         seeds0 = np.full((B, F, 3, self.nr + 1, self.nq + 1), INF, np.int64)
         for i in range(B):
-            seeds0[i, self.config.right_flank_length, GAP_NONE, 0, 0] = 0
+            rg = self.ranges[i]
+            seeds0[
+                i, self.config.right_flank_length, GAP_NONE,
+                rg.reference_offset, rg.query_offset,
+            ] = 0
         root_dev = jnp.asarray(np.asarray(to_device_costs(seeds0)))
-        lr_idx = jnp.asarray([r for r, _ in self.real], jnp.int32)
-        lq_idx = jnp.asarray([q for _, q in self.real], jnp.int32)
+        lr_idx = jnp.asarray([r for r, _ in self.limits], jnp.int32)
+        lq_idx = jnp.asarray([q for _, q in self.limits], jnp.int32)
         M0_dev = sync_point(
             _sweep_batch_jit(
                 root_dev, arrays_b,
@@ -760,14 +791,18 @@ class BatchedTSAligner:
 
         seeds0 = np.full((B, F, 3, self.nr + 1, self.nq + 1), INF, dtype=np.int64)
         for i in range(B):
-            seeds0[i, self.config.right_flank_length, GAP_NONE, 0, 0] = 0
+            rg = self.ranges[i]
+            seeds0[
+                i, self.config.right_flank_length, GAP_NONE,
+                rg.reference_offset, rg.query_offset,
+            ] = 0
         seeds0_dev = np.asarray(to_device_costs(seeds0))
         seeds = jnp.asarray(seeds0_dev)
         if shard is not None:
             seeds = shard(seeds)
 
-        lr_idx = jnp.asarray([r for r, _ in self.real], jnp.int32)
-        lq_idx = jnp.asarray([q for _, q in self.real], jnp.int32)
+        lr_idx = jnp.asarray([r for r, _ in self.limits], jnp.int32)
+        lq_idx = jnp.asarray([q for _, q in self.limits], jnp.int32)
 
         def summarize(M_dev):
             """(entry layers (B, nr+1, nq+1) host, per-pair target costs)."""
@@ -960,12 +995,11 @@ class BatchedTSAligner:
             if res.cost >= INF:
                 out.append((INF, Alignment([])))
                 continue
-            lr, lq = self.real[i]
             tb = TracebackEngine(
                 self.config,
                 self.refs[i],
                 self.qrys[i],
-                range_=AlignmentRange(0, 0, lr, lq),
+                range_=self.ranges[i],
                 prune_range=False,
                 sdel_budget=self.sdel_budget,
             )

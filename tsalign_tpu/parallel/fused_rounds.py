@@ -385,8 +385,8 @@ def build_meta_and_data(bt, arrays_b, root_dev, M0_dev, E0_dev, best0,
         "arrays": arrays_b,
         "S32": jnp.asarray(S32),
         "has_lb": jnp.asarray(has_lb),
-        "lr": jnp.asarray([r for r, _ in bt.real], jnp.int32),
-        "lq": jnp.asarray([q for _, q in bt.real], jnp.int32),
+        "lr": jnp.asarray([r for r, _ in bt.limits], jnp.int32),
+        "lq": jnp.asarray([q for _, q in bt.limits], jnp.int32),
         "kinds": kind_data,
         "E0": E0_dev,
         "best0": best0_dev,

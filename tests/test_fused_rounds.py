@@ -98,3 +98,36 @@ def test_fused_field_counts_match_host(monkeypatch):
             np.testing.assert_array_equal(
                 entry_cells_of(Mf), entry_cells_of(Mh)
             )
+
+
+def test_fused_single_pair_delegation(monkeypatch):
+    """JaxAligner delegates the plain NoPrune case to the B=1 fused loop
+    (jax_engine._fused_delegate); cost, rounds and traceback must match
+    the host single-pair loop."""
+    from tsalign_tpu.geometry import AlignmentRange
+    from tsalign_tpu.jax_engine import JaxAligner
+
+    cfg = _narrow_config()
+    ref, qry = _pairs()[0]
+    rng = AlignmentRange(4, 4, len(ref) - 3, len(qry) - 3)
+
+    def run(fused, **kw):
+        if fused:
+            monkeypatch.setenv("TSALIGN_FUSED", "1")
+            monkeypatch.delenv("TSALIGN_NO_FUSED", raising=False)
+        else:
+            monkeypatch.setenv("TSALIGN_NO_FUSED", "1")
+        return JaxAligner(cfg, ref, qry, chunk=16, **kw)
+
+    for kw in (dict(keep_fields=False), dict(keep_fields=False, range_=rng)):
+        cf = run(True, **kw).align()
+        ch = run(False, **kw).align()
+        assert cf.cost == ch.cost, kw
+    # traceback through the fused device-view fields
+    ef = run(True, keep_fields="device")
+    cf, af = ef.align_with_traceback()
+    eh = run(False, keep_fields="device")
+    ch, ah = eh.align_with_traceback()
+    assert cf == ch
+    assert af.entries == ah.entries
+    assert price_alignment(cfg, ref, qry, af) == cf

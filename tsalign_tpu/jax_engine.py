@@ -693,7 +693,66 @@ class JaxAligner:
         t = int(np.asarray(tv).min())
         return np.asarray(E), (INF if t >= int(DEV_INF) // 2 else t), M_host, M_dev
 
+    def _fused_delegate(self) -> Optional[JaxEngineResult]:
+        """Single-pair fused path: delegate to a B=1 BatchedTSAligner so
+        the whole rounds loop runs as ONE lax.while_loop dispatch
+        (parallel/fused_rounds.py) instead of ~10 relay RPCs per round.
+        Applies only to the plain NoPrune full-feature case the batch
+        engine models; anything else (max_ts, pruned range, restricted
+        primaries) stays on the host loop below, which also remains the
+        fallback on any failure.  Exactness: the batch engine runs the
+        same algebra with the same per-pair stops (fused-vs-host parity
+        pinned in tests/test_fused_rounds.py; the delegation itself in
+        test_fused_single_pair_delegation)."""
+        import os
+
+        if os.environ.get("TSALIGN_NO_FUSED"):
+            return None
+        if not (
+            os.environ.get("TSALIGN_FUSED") == "1"
+            or jax.default_backend() != "cpu"
+        ):
+            return None
+        if (
+            self.max_ts is not None
+            or self.prune_range
+            or self.allowed_primaries != (0, 1)
+            or not self.allow_sdel
+        ):
+            return None
+        try:
+            from .parallel.batch_ts import BatchedTSAligner
+
+            bt = BatchedTSAligner(
+                self.config,
+                [(self.ref, self.qry)],
+                ranges=[self.range],
+                chunk=self.chunk,
+                keep_fields=self.keep_fields,
+                max_rounds=self.max_rounds,
+                use_lower_bounds=self.use_lower_bounds,
+            )
+            res = bt.align()[0]
+        except Exception as e:
+            logger.warning(
+                "single-pair fused delegation failed (%s: %s); host loop",
+                type(e).__name__,
+                str(e)[:300],
+            )
+            return None
+        self._last_budget = bt.sdel_budget
+        F = self.config.left_flank_length + self.config.right_flank_length + 1
+        area = (self.n_r + 1) * (self.n_q + 1)
+        n_kinds = len(bt.kind_sets[0]) if bt.kind_sets else 0
+        self.cells_swept = getattr(self, "cells_swept", 0) + res.rounds * (
+            F * 3 * area
+        ) + max(0, res.rounds - 1) * n_kinds * area
+        return res
+
     def align(self) -> JaxEngineResult:
+        fused = self._fused_delegate()
+        if fused is not None:
+            return fused
         root = np.asarray(to_device_costs(self._root_seeds_host()))
         t = self.max_ts
         res = JaxEngineResult(cost=INF, rounds=0)

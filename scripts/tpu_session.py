@@ -12,16 +12,17 @@ Usage:
   python scripts/tpu_session.py                 # full queue
   python scripts/tpu_session.py heli_bench ari  # selected steps
 
-Steps in default order (safe -> risky):
-  probe          tiny device op (relay liveness)
-  heli_bench     headline bench case, cold + best-of-3 warm
-  goldens        heli/linc/underscore engine runs vs golden costs
-  loci           flanked real loci (TSNAX/GNG12/LINC00271, bench config)
-  chain_scale    30 kb chained mode on the device engine (padded buckets)
-  twin1000       twin_1000 family device pins (sample config)
-  ari            the 1099x1099 golden (crashed the worker in round 1/2)
-  bucket2/4/8    batched bucket ladder, XLA module path (NO_PALLAS=1)
-  bucket8p       batched bucket, Pallas module kernel (the known crasher)
+Round-5 steps in default order (safe -> risky):
+  probe            tiny device op (relay liveness)
+  fused_probe(_host)  fused while_loop canary at tiny shape (+cross-check)
+  heli_bench       headline + record, staged in one process (bench._measure)
+  goldens_warm     heli/linc/underscore with warm walls (per-case table)
+  ari_warm         the 1099x1099 golden with warm walls
+  loci             flanked real loci (TSNAX/GNG12/LINC00271, bench config)
+  bucket8p         batched bucket through the fused loop
+  chain30k/100k/230k  device chained mode, segments batched per bucket
+  corpus           multi-bucket corpus throughput
+  heli_host        host-loop heli comparison point (fused off)
 """
 
 import json
@@ -40,16 +41,25 @@ PROBE = (
 )
 
 STEPS = [
-    # (name, argv, timeout_s, extra_env)
+    # (name, argv, timeout_s, extra_env) — round-5 queue, safe -> risky.
     # 1800 s, deliberately huge: a cold/recovering relay can take >5 min to
     # serve the first trivial op (round-4 measurements: 326 s, then >600 s),
     # and KILLING a TPU client on timeout re-wedges the chip for 10-40 min
     # (CLAUDE.md) — a vicious cycle where every impatient probe causes the
     # wedge the next probe times out on.  Wait the probe out instead.
     ("probe", [sys.executable, "-c", PROBE], 1800, {}),
-    # NB: drain with get(timeout=...), not q.empty() — the mp.Queue feeder
-    # thread makes empty() race the last put (a warm measurement was lost
-    # to this in round 4).
+    # Canary for the NEW fused while_loop program at a tiny shape (the
+    # single-pair engine now delegates to it on device): compiles + runs
+    # the fused loop before anything measurement-critical depends on it.
+    ("fused_probe", [sys.executable, "scripts/fused_canary.py"], 1500, {}),
+    # Same tiny case through the HOST loop for a cost cross-check.
+    ("fused_probe_host", [sys.executable, "scripts/fused_canary.py",
+                          "--host"], 1200, {}),
+    # NB: bench._measure stages cost_cold -> cost -> record_cold -> record
+    # in ONE process (the record shares the cost path's compiled
+    # executables), so heli_bench covers the record measurement too.
+    # Drain with get(timeout=...), not q.empty() — the mp.Queue feeder
+    # thread makes empty() race the last put (round-4 lesson).
     ("heli_bench", [sys.executable, "-c", (
         "import sys; sys.path.insert(0, %r);"
         "import multiprocessing as mp, queue, bench;"
@@ -57,45 +67,33 @@ STEPS = [
         "while True:\n"
         "    try: print('RESULT', q.get(timeout=5))\n"
         "    except queue.Empty: break"
-    ) % REPO], 1800, {}),
-    # NB: bench._measure now stages cost_cold -> cost -> record_cold ->
-    # record in one process (the record shares the cost path's compiled
-    # executables), so heli_bench covers the record measurement too.
-    ("goldens", [sys.executable, "scripts/validate_goldens.py", "--cases",
-                 "twin_heli_MDC1-AS1_10", "twin_heli_linc01237_114",
-                 "underscore", "--chunk", "128"], 1800, {}),
+    ) % REPO], 2400, {}),
+    # Per-case device-vs-reference table (VERDICT r4 item 3): warm walls.
+    ("goldens_warm", [sys.executable, "scripts/validate_goldens.py",
+                      "--cases", "twin_heli_MDC1-AS1_10",
+                      "twin_heli_linc01237_114", "underscore",
+                      "--chunk", "128", "--warm", "2"], 2400, {}),
+    ("ari_warm", [sys.executable, "scripts/validate_goldens.py", "--cases",
+                  "twin_ari_chrX_146823507_146823598", "--chunk", "128",
+                  "--warm", "2"], 2400, {}),
     ("loci", [sys.executable, "scripts/validate_loci.py"], 1800, {}),
-    ("chain_scale", [sys.executable, "scripts/validate_chain_scale.py",
-                     "30000", "--engine", "jax"], 2400, {}),
-    ("twin1000", [sys.executable, "scripts/validate_twin1000.py",
-                  "--traceback"], 2400, {}),
-    ("ari", [sys.executable, "scripts/validate_goldens.py", "--cases",
-             "twin_ari_chrX_146823507_146823598", "--chunk", "128"], 2400, {}),
-    ("bucket2", [sys.executable, "scripts/repro_batch_crash.py", "2"], 1200,
-     {"TSALIGN_NO_PALLAS": "1"}),
-    ("bucket4", [sys.executable, "scripts/repro_batch_crash.py", "4"], 1200,
-     {"TSALIGN_NO_PALLAS": "1"}),
-    ("bucket8", [sys.executable, "scripts/repro_batch_crash.py", "8"], 1500,
-     {"TSALIGN_NO_PALLAS": "1"}),
-    # Round-4 throughput experiments (risk-ordered): bigger e-chunks on the
-    # XLA scan path (the 128 MB assembly clamp pre-dates the round-3 gather
-    # root-cause fix, so C=16 at the 256 bucket is likely over-conservative),
-    # then the Pallas module kernel under lax.map (the round-3 rewrites
-    # removed the gather fault class this path was blamed for).
-    ("bucket8_c64", [sys.executable, "scripts/repro_batch_crash.py", "8"],
-     1500, {"TSALIGN_NO_PALLAS": "1", "TSALIGN_ASM_BUDGET_MB": "512"}),
-    ("bucket8p", [sys.executable, "scripts/repro_batch_crash.py", "8"], 1500, {}),
-    ("bucket8p_c64", [sys.executable, "scripts/repro_batch_crash.py", "8"],
-     1500, {"TSALIGN_ASM_BUDGET_MB": "512"}),
-    # Device-engine chained mode at reference scale (VERDICT r3 item 4).
+    # Batched bucket through the fused loop (BENCH batched_* preview).
+    ("bucket8p", [sys.executable, "scripts/repro_batch_crash.py", "8"],
+     1500, {}),
+    # Device chained mode, now batched per bucket (VERDICT r4 item 2):
+    # 30 kb first (the round-2 scale), then reference scale.
+    ("chain30k", [sys.executable, "scripts/validate_chain_scale.py",
+                  "30000", "--engine", "jax"], 2400, {}),
     ("chain100k", [sys.executable, "scripts/validate_chain_scale.py",
                    "100000", "--engine", "jax"], 3000, {}),
     ("chain230k", [sys.executable, "scripts/validate_chain_scale.py",
                    "230000", "--engine", "jax"], 3600, {}),
-    # Round-4 attribution + corpus throughput.
-    ("record_prof", [sys.executable, "scripts/profile_record.py"], 1200, {}),
     ("corpus", [sys.executable, "scripts/validate_corpus.py", "520"],
      2400, {}),
+    # Host-loop comparison points (fused off), if time permits.
+    ("heli_host", [sys.executable, "scripts/validate_goldens.py", "--cases",
+                   "twin_heli_MDC1-AS1_10", "--chunk", "128", "--warm", "2"],
+     1800, {"TSALIGN_NO_FUSED": "1"}),
 ]
 
 

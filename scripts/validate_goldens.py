@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--cases", nargs="*", default=list(GOLDENS))
     ap.add_argument("--alignments", action="store_true")
     ap.add_argument("--chunk", type=int, default=64)
+    ap.add_argument(
+        "--warm", type=int, default=0,
+        help="after the cold run, repeat N times and report the best warm "
+        "wall (the per-case device-vs-reference table, VERDICT r4 item 3)",
+    )
     args = ap.parse_args()
 
     from tsalign_tpu.alphabet import get_alphabet
@@ -74,9 +79,22 @@ def main():
         ok = res.cost <= expect
         print(
             f"{name}: n=({len(ref)},{len(qry)}) range={rng} cost={res.cost} "
-            f"expect={expect} ok={ok} rounds={res.rounds} {time.time()-t0:.1f}s"
+            f"expect={expect} ok={ok} rounds={res.rounds} {time.time()-t0:.1f}s",
+            flush=True,
         )
         failures += 0 if ok else 1
+        if args.warm:
+            warm = float("inf")
+            for _ in range(args.warm):
+                t0 = time.time()
+                res_w = JaxAligner(
+                    cfg, ref, qry, range_=rng, chunk=args.chunk,
+                    keep_fields=False,
+                ).align()
+                warm = min(warm, time.time() - t0)
+                assert res_w.cost == res.cost
+            print(f"{name}: warm_wall={warm:.2f}s (best of {args.warm})",
+                  flush=True)
     print("FAILURES:", failures)
     return 1 if failures else 0
 

@@ -294,8 +294,9 @@ def _align_segments_batched(
     for key, idx, sub_r, sub_q, rng in prepped:
         groups.setdefault(key, []).append((idx, sub_r, sub_q, rng))
     # Sub-batch cap: traceback mode keeps max_rounds+1 stacked round fields
-    # in HBM per batch (fused loop), so bound the batch size.
-    cap = 12 if with_traceback else 48
+    # in HBM per batch (fused loop), so bound the batch size.  Powers of
+    # two, matching the padding tiers below.
+    cap = 8 if with_traceback else 32
     for (br, bq), items in sorted(groups.items()):
         K = 1
         while K < br + bq + 2:
@@ -305,6 +306,17 @@ def _align_segments_batched(
             chunk_items = items[c0 : c0 + cap]
             pairs = [(sr, sq) for _, sr, sq, _ in chunk_items]
             ranges = [rng for *_, rng in chunk_items]
+            # Pad to a power-of-two batch tier by repeating the first
+            # segment (results dropped): the fused program's batch size is
+            # a compile-time static, and per-group remote recompiles would
+            # eat the batching win.
+            tier = 1
+            while tier < len(pairs):
+                tier *= 2
+            n_real_items = len(pairs)
+            while len(pairs) < tier:
+                pairs.append(pairs[0])
+                ranges.append(ranges[0])
             try:
                 bt = BatchedTSAligner(
                     cfg_scaled, pairs, ranges=ranges,
@@ -317,6 +329,7 @@ def _align_segments_batched(
                     traced = [(r.cost, None) for r in bt.align()]
             except OverflowError:
                 return None
+            traced = traced[:n_real_items]  # drop padding-tier duplicates
             for (idx, *_), (comp, aln) in zip(chunk_items, traced):
                 if comp >= INF:
                     (r0, q0), (r1, q1) = windows[idx]

@@ -731,6 +731,7 @@ class JaxAligner:
                 keep_fields=self.keep_fields,
                 max_rounds=self.max_rounds,
                 use_lower_bounds=self.use_lower_bounds,
+                bucket=False,
             )
             res = bt.align()[0]
         except Exception as e:

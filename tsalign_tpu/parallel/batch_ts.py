@@ -179,6 +179,7 @@ class BatchedTSAligner:
         keep_fields: bool = False,
         ranges: Optional[Sequence[AlignmentRange]] = None,
         use_lower_bounds: bool = True,
+        bucket: bool = True,
     ):
         """`ranges`: optional per-pair focus ranges (chained-mode segments
         align a focus window inside radius context, chain/driver.py): the
@@ -189,8 +190,12 @@ class BatchedTSAligner:
         self.use_lower_bounds = use_lower_bounds
         self.n_pairs = len(pairs)
         P = config.alphabet.size
-        nr = _bucket(max(len(r) for r, _ in pairs))
-        nq = _bucket(max(len(q) for _, q in pairs))
+        # bucket=False (single-pair fused delegation): exact shapes — no
+        # power-of-two padding overhead when there is nothing to share.
+        nr = max(len(r) for r, _ in pairs)
+        nq = max(len(q) for _, q in pairs)
+        if bucket:
+            nr, nq = _bucket(nr), _bucket(nq)
         self.nr, self.nq = nr, nq
         self.real = [(len(r), len(q)) for r, q in pairs]
         self.ranges = (
@@ -665,40 +670,43 @@ class BatchedTSAligner:
         if self.kind_sets is None:
             logger.debug("batch fused: build_kind_sets")
             self._build_kind_sets(self._derive_budget(best0))
-        meta, data = build_meta_and_data(
-            self, arrays_b, root_dev, M0_dev, E0_dev, best0, keep
-        )
-        try:
-            out = _fused_loop(data, meta=meta)
-        except Exception as e:
-            # Mosaic compile rejection of a Pallas module kernel inside the
-            # fused program: downgrade every Pallas kind and retry once.
-            from ..jax_engine import _module_pallas_fallback
+        # Retry chain: Pallas sweep on (flankless, in-VMEM shapes) -> XLA
+        # sweep -> XLA sweep with every Pallas module kind downgraded.  A
+        # Mosaic compile rejection is a clean exception; runtime faults
+        # never reach here.
+        use_psweep = F == 1 and self.sweeps[0]._pallas_ok()
+        out = None
+        last_err = None
+        for attempt in ("psweep", "xla", "no_pallas_kinds"):
+            if attempt == "psweep" and not use_psweep:
+                continue
+            if attempt == "no_pallas_kinds":
+                from ..jax_engine import _module_pallas_fallback
 
-            pallas_kinds = [
-                km0 for km0, *_ in self._kind_state
-                if km0._static.use_pallas
-            ]
-            if not pallas_kinds:
-                logger.warning(
-                    "fused rounds loop failed (%s: %s); falling back to the "
-                    "host loop", type(e).__name__, str(e)[:300],
-                )
-                return None
-            for km0 in pallas_kinds:
-                _module_pallas_fallback(km0, e)
+                pallas_kinds = [
+                    km0 for km0, *_ in self._kind_state
+                    if km0._static.use_pallas
+                ]
+                if not pallas_kinds:
+                    break
+                for km0 in pallas_kinds:
+                    _module_pallas_fallback(km0, last_err)
             meta, data = build_meta_and_data(
-                self, arrays_b, root_dev, M0_dev, E0_dev, best0, keep
+                self, arrays_b, root_dev, M0_dev, E0_dev, best0, keep,
+                pallas_sweep=attempt == "psweep",
             )
             try:
                 out = _fused_loop(data, meta=meta)
-            except Exception as e2:
+                break
+            except Exception as e:
+                last_err = e
                 logger.warning(
-                    "fused rounds loop failed after Pallas fallback "
-                    "(%s: %s); falling back to the host loop",
-                    type(e2).__name__, str(e2)[:300],
+                    "fused rounds loop failed (attempt %s; %s: %s)",
+                    attempt, type(e).__name__, str(e)[:300],
                 )
-                return None
+        if out is None:
+            logger.warning("fused loop exhausted retries; host loop")
+            return None
         sync_point(out["best"], "fused rounds loop")
         done = np.asarray(out["done"])
         if not done.all():

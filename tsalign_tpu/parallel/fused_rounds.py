@@ -73,6 +73,10 @@ class FusedMeta(NamedTuple):
     F: int
     nr: int
     nq: int
+    # Flankless on-chip Pallas sweep inside the loop (the XLA per-row scan
+    # is latency-bound; ops/pallas_sweep.py) — downgraded on compile
+    # rejection by the caller's retry chain.
+    pallas_sweep: bool = False
 
 
 def _summ(M_b, lr, lq):
@@ -180,6 +184,19 @@ def _fused_loop(data, *, meta: FusedMeta):
     delta_pos = max(0, meta.delta)
 
     def sweep(seeds):
+        if meta.pallas_sweep:
+            from ..ops.pallas_sweep import sweep_pallas_flankless
+
+            fl_sub, fl_dd, fl_io, fl_ie = data["flankless"]
+
+            def one(args):
+                s, subr, dd, io, ie = args
+                M = sweep_pallas_flankless(
+                    subr, dd, s[0].transpose(1, 0, 2), io, ie
+                )
+                return M.transpose(1, 0, 2)[None]
+
+            return jax.lax.map(one, (seeds, fl_sub, fl_dd, fl_io, fl_ie))
         return jax.vmap(
             lambda s, a: _sweep_jit(s, a, L=meta.L, R=meta.R, climb=meta.climb)
         )(seeds, arrays_b)
@@ -322,7 +339,7 @@ def _fused_loop(data, *, meta: FusedMeta):
 
 
 def build_meta_and_data(bt, arrays_b, root_dev, M0_dev, E0_dev, best0,
-                        keep: bool):
+                        keep: bool, pallas_sweep: bool = False):
     """Assemble (meta, data) for the fused loop from a BatchedTSAligner
     whose kind state is built."""
     kinds_meta: List[KindMeta] = []
@@ -376,6 +393,7 @@ def build_meta_and_data(bt, arrays_b, root_dev, M0_dev, E0_dev, best0,
         F=F,
         nr=bt.nr,
         nq=bt.nq,
+        pallas_sweep=pallas_sweep,
     )
     best0_dev = jnp.asarray(
         [min(b, int(DEV_INF)) for b in best0], jnp.int32
@@ -393,4 +411,9 @@ def build_meta_and_data(bt, arrays_b, root_dev, M0_dev, E0_dev, best0,
     }
     if keep:
         data["M0"] = M0_dev
+    if pallas_sweep:
+        fl = [sw.flankless_inputs() for sw in bt.sweeps]
+        data["flankless"] = tuple(
+            jnp.stack([jnp.asarray(f[j]) for f in fl]) for j in range(4)
+        )
     return meta, data

@@ -276,16 +276,16 @@ def _align_segments_batched(
     from ..parallel.batch_ts import BatchedTSAligner
 
     n_r, n_q = len(ref), len(qry)
-    P = config.alphabet.size
     prepped = []  # (bucket_key, index, sub_r, sub_q, rng)
     for idx, (cut0, cut1) in enumerate(windows):
         (r0, q0), (r1, q1) = cut0, cut1
         cr0, cq0 = max(0, r0 - radius), max(0, q0 - radius)
         cr1, cq1 = min(n_r, r1 + radius), min(n_q, q1 + radius)
+        # Raw (unpadded) subsequences: BatchedTSAligner poison-pads to the
+        # group bucket itself and derives the REAL structural bounds from
+        # the content (padded-soundness).
         sub_r, sub_q = ref[cr0:cr1], qry[cq0:cq1]
         br, bq = _bucket(len(sub_r)), _bucket(len(sub_q))
-        sub_r = np.concatenate([sub_r, np.full(br - len(sub_r), P, sub_r.dtype)])
-        sub_q = np.concatenate([sub_q, np.full(bq - len(sub_q), P, sub_q.dtype)])
         rng = AlignmentRange(r0 - cr0, q0 - cq0, r1 - cr0, q1 - cq0)
         prepped.append(((br, bq), idx, sub_r, sub_q, rng))
 

@@ -197,7 +197,20 @@ class BatchedTSAligner:
         if bucket:
             nr, nq = _bucket(nr), _bucket(nq)
         self.nr, self.nq = nr, nq
-        self.real = [(len(r), len(q)) for r, q in pairs]
+        # REAL content lengths, poison-aware: callers may hand in arrays
+        # already padded with the poison char (chained-mode buckets), and
+        # every structural feasibility (seed walks, strict reentry, exit
+        # walk) must derive from the real lengths (CLAUDE.md padded
+        # soundness; tests/test_padded_soundness.py).
+        from ..ops.tsm_modules import real_seq_length
+
+        self.real = [
+            (
+                real_seq_length(np.asarray(r), P),
+                real_seq_length(np.asarray(q), P),
+            )
+            for r, q in pairs
+        ]
         self.ranges = (
             list(ranges)
             if ranges is not None
@@ -1051,19 +1064,26 @@ def align_pairs(
     groups: dict = {}
     for i, (r, q) in enumerate(enc):
         groups.setdefault((_bucket(len(r)), _bucket(len(q))), []).append(i)
-    if len(groups) > 1:
+    # Sub-batch cap: the fused loop's keep-fields buffers scale with
+    # (max_rounds+1) * B * bucket^2 in HBM, so large groups split into
+    # batches of <= 8 (at the 1024 bucket, 8 pairs * 33 round slots of
+    # primary+reentry+entry fields ~ 5 GB of the 16 GB chip).
+    only_key = next(iter(groups))
+    if len(groups) > 1 or len(groups[only_key]) > 8:
         records = [None] * len(pairs)
         for _key, idxs in sorted(groups.items()):
-            sub = align_pairs(
-                config,
-                [pairs[i] for i in idxs],
-                names=[names[i] for i in idxs] if names else None,
-                maximise_total_length=maximise_total_length,
-                chunk=chunk,
-                mesh=mesh,
-            )
-            for i, rec in zip(idxs, sub):
-                records[i] = rec
+            for c0 in range(0, len(idxs), 8):
+                part = idxs[c0 : c0 + 8]
+                sub = align_pairs(
+                    config,
+                    [pairs[i] for i in part],
+                    names=[names[i] for i in part] if names else None,
+                    maximise_total_length=maximise_total_length,
+                    chunk=chunk,
+                    mesh=mesh,
+                )
+                for i, rec in zip(part, sub):
+                    records[i] = rec
         return records
     # K-soundness (aligner._run_engine): the scaled decomposition is exact
     # only while total TS length < K; a rewinding config with zero-cost TSMs

@@ -746,9 +746,32 @@ class BatchedTSAligner:
         """Reconstruct per-pair field lists from the fused loop's stacked
         round buffers (liveness is a prefix — done is monotone — so pair
         i's fields are exactly the first np_cnt[i]/nr_cnt[i] slots)."""
+        import os
+
         if not self.keep_fields:
             return
         B = self.n_pairs
+        # Single-pair records: materialize the whole round buffers in ONE
+        # bulk transfer and hand the traceback plain numpy — each lazy
+        # tile fetch is a relay RPC, and the buffers at single-pair shapes
+        # are small enough (~100 MB) that one transfer beats any number of
+        # per-tile round trips.
+        if (
+            self.keep_fields == "device"
+            and B == 1
+            and R_all is not None
+            and M_all.size * 4 <= int(
+                os.environ.get("TSALIGN_FIELD_XFER_MB", "256")
+            ) * 2**20
+        ):
+            self.keep_fields = True
+            try:
+                self._keep_fused_fields(
+                    results, M_all, R_all, E_all, E0_dev, np_cnt, nr_cnt
+                )
+            finally:
+                self.keep_fields = "device"
+            return
         if self.keep_fields is True:
             M_host = np.asarray(M_all)
             R_host = np.asarray(R_all) if R_all is not None else None

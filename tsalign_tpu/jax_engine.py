@@ -729,7 +729,12 @@ class JaxAligner:
                 ranges=[self.range],
                 chunk=self.chunk,
                 keep_fields=self.keep_fields,
-                max_rounds=self.max_rounds,
+                # The fused keep-fields buffers are preallocated at
+                # max_rounds+1 round slots (and bulk-transferred for the
+                # traceback), so cap the fused attempt at 16 — real runs
+                # take <= ~8 rounds, and a deeper run falls back to the
+                # host loop (which has no such cap) via the exception path.
+                max_rounds=min(self.max_rounds, 16),
                 use_lower_bounds=self.use_lower_bounds,
                 bucket=False,
             )

@@ -24,6 +24,13 @@ CASES = [
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--warm", type=int, default=0,
+                    help="repeat N times after the cold run; report best")
+    args = ap.parse_args()
+
     from tsalign_tpu.alphabet import get_alphabet
     from tsalign_tpu.config import TemplateSwitchConfig
     from tsalign_tpu.fasta import parse_pair_fasta_file, strip_skip_characters
@@ -51,6 +58,16 @@ def main():
             f"rounds={res.rounds} {time.time()-t0:.1f}s",
             flush=True,
         )
+        if args.warm:
+            warm = float("inf")
+            for _ in range(args.warm):
+                t0 = time.time()
+                rw = JaxAligner(
+                    cfg, ref, qry, range_=rng, chunk=64, keep_fields=False
+                ).align()
+                warm = min(warm, time.time() - t0)
+                assert rw.cost == res.cost
+            print(f"{name}: warm_wall={warm:.2f}s", flush=True)
     return 0 if ok_all else 1
 
 

@@ -265,7 +265,7 @@ def _sweep_jit(seeds, arrays, *, L, R, climb):
         pad = jnp.full((1,), DEV_INF, o.dtype)
         return jnp.concatenate([pad, o]), jnp.concatenate([pad, e])
 
-    def body(prev, x):
+    def row_step(prev, x):
         # prev: (F, 3, n_q+1) previous row (all-INF for the virtual row -1)
         rows = [None] * F
         tabs = {
@@ -315,9 +315,50 @@ def _sweep_jit(seeds, arrays, *, L, R, climb):
         row = jnp.stack(rows)
         return row, row
 
+    # Row-blocked scan: U rows per scan step (static inner unroll).  The
+    # per-step fused region of a 1-row scan is tiny, so at 1000+ rows the
+    # sweep wall is dominated by scan-step boundaries, not arithmetic;
+    # blocking cuts the step count U-fold with identical integer ops.
+    U = _sweep_unroll()
+    n_rows = int(xs["seed"].shape[0])
+    if U > 1 and n_rows > U:
+        pad = (-n_rows) % U
+        if pad:
+            xs = jax.tree_util.tree_map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.full((pad,) + a.shape[1:], DEV_INF, a.dtype)]
+                ),
+                xs,
+            )
+        xs_blk = jax.tree_util.tree_map(
+            lambda a: a.reshape((-1, U) + a.shape[1:]), xs
+        )
+
+        def body(prev, xblk):
+            outs = []
+            for u in range(U):
+                x = jax.tree_util.tree_map(lambda a: a[u], xblk)
+                prev, row = row_step(prev, x)
+                outs.append(row)
+            return prev, jnp.stack(outs)
+
+        init = jnp.full((F, 3, n_q + 1), DEV_INF, jnp.int32)
+        _, Mb = jax.lax.scan(body, init, xs_blk)
+        M = Mb.reshape((-1,) + Mb.shape[2:])[:n_rows]
+        return jnp.moveaxis(M, 0, 2)
+
     init = jnp.full((F, 3, n_q + 1), DEV_INF, jnp.int32)
-    _, M = jax.lax.scan(body, init, xs)
+    _, M = jax.lax.scan(row_step, init, xs)
     return jnp.moveaxis(M, 0, 2)  # (F, 3, n_r+1, n_q+1)
+
+
+def _sweep_unroll() -> int:
+    import os
+
+    try:
+        return max(1, int(os.environ.get("TSALIGN_SWEEP_UNROLL", "8")))
+    except ValueError:
+        return 8
 
 
 def _ordered(none_c, ins_c, del_c):

@@ -101,3 +101,37 @@ def test_pallas_flanked_matches_numpy_spec(seed, climb):
         )
     ).transpose(1, 0, 2).reshape(F, 3, n_rows, Wq)
     np.testing.assert_array_equal(from_device_costs(M), expect)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_pallas_flankless_tiled_matches_numpy_spec(seed):
+    """Row-tiled variant (grid over row blocks, wavefront carried in VMEM
+    scratch across sequential grid steps) == the numpy spec.  TB=8 on a
+    ~30-row problem exercises multiple grid steps and the row padding."""
+    import jax.numpy as jnp
+
+    from tsalign_tpu.ops.pallas_sweep import sweep_pallas_flankless_tiled
+
+    rng = np.random.default_rng(700 + seed)
+    al = get_alphabet("dna")
+    cfg = random_config(rng, al, flanks=False)
+    ref, qry = random_pair(rng, al, max_len=30, min_len=18)
+    sw = PrimarySweep(cfg, ref, qry)
+    jw = JaxPrimarySweep(cfg, ref, qry)
+    seeds = _random_seeds(rng, 1, len(ref), len(qry))
+    expect = sw.sweep(seeds)
+
+    sub_rows, dd, io, ie = jw.flankless_inputs()
+    M = np.asarray(
+        sweep_pallas_flankless_tiled(
+            jnp.asarray(sub_rows),
+            jnp.asarray(dd),
+            jnp.asarray(to_device_costs(seeds))[0].transpose(1, 0, 2),
+            jnp.asarray(io),
+            jnp.asarray(ie),
+            TB=8,
+            interpret=True,
+        )
+    )
+    got = from_device_costs(M.transpose(1, 0, 2)[None])
+    np.testing.assert_array_equal(got, expect)

@@ -123,6 +123,23 @@ class JaxPrimarySweep:
                 return M.transpose(1, 0, 2)[None]
             except Exception as e:  # Mosaic compile rejection: clean fallback
                 self._disable_pallas(e)
+        tb = self._pallas_tile()
+        if tb:
+            from .pallas_sweep import sweep_pallas_flankless_tiled
+
+            sub_rows, dd, io, ie = self.flankless_inputs()
+            try:
+                M = sweep_pallas_flankless_tiled(
+                    jnp.asarray(sub_rows),
+                    jnp.asarray(dd),
+                    seeds[0].transpose(1, 0, 2),
+                    jnp.asarray(io),
+                    jnp.asarray(ie),
+                    TB=tb,
+                )
+                return M.transpose(1, 0, 2)[None]
+            except Exception as e:  # Mosaic compile rejection: clean fallback
+                self._disable_pallas(e)
         if self.F > 1 and self._pallas_ok():
             from .pallas_sweep import sweep_pallas_flanked
 
@@ -205,6 +222,18 @@ class JaxPrimarySweep:
             str(err)[:500],
         )
         self._pallas_broken = True
+
+    def _pallas_tile(self) -> int:
+        """Row-block size for the TILED flankless Pallas sweep when the
+        whole-state kernel is VMEM-capped out (large n) — 0 disables."""
+        from .jax_modules import _pallas_default
+        from .pallas_sweep import choose_tile
+
+        if self.F != 1 or getattr(self, "_pallas_broken", False):
+            return 0
+        if not _pallas_default():
+            return 0
+        return choose_tile(self.n_r + 1, self.n_q + 1)
 
     def _pallas_ok(self) -> bool:
         from .jax_modules import _pallas_default

@@ -122,6 +122,118 @@ def _sweep_kernel(
     jax.lax.fori_loop(0, n_rows, body, init)
 
 
+def _sweep_kernel_tiled(
+    sub_ref,  # (TB/8, 8, Wq) this block's substitution rows
+    dd_ref,  # (TB/8, 8, 128) this block's del open/extend rows
+    seeds_ref,  # (TB, 3, Wq) this block's seeds
+    io_ref,  # (1, Wq)
+    ie_ref,  # (1, Wq)
+    out_ref,  # (TB, 3, Wq)
+    carry_ref,  # VMEM scratch (3, Wq): wavefront row across grid steps
+    *,
+    TB: int,
+):
+    """Row-tiled variant of _sweep_kernel: the grid walks row blocks
+    SEQUENTIALLY (TPU grid semantics) and the previous block's last row
+    persists in VMEM scratch, so VMEM holds one block instead of the whole
+    field — this is what admits 1000+-row problems (the whole-state kernel
+    runtime-overflows VMEM there, which CRASHES the worker)."""
+    Wq = sub_ref.shape[-1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        carry_ref[...] = jnp.full((3, Wq), DEV_INF, jnp.int32)
+
+    def body(r, carry):
+        prev_n, prev_i, prev_d = carry
+        blk = r // 8
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, Wq), 0)
+        sel = lane8 == (r % 8)
+        sub_row = jnp.sum(
+            jnp.where(sel, sub_ref[pl.ds(blk, 1)][0], 0), axis=0, keepdims=True
+        )
+        sel128 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == (r % 8)
+        ddrow = jnp.sum(jnp.where(sel128, dd_ref[pl.ds(blk, 1)][0], 0), axis=0)
+        d_open = ddrow[0]
+        d_ext = ddrow[1]
+
+        seeds = seeds_ref[pl.ds(r, 1)][0]  # (3, Wq)
+        none_c = seeds[GAP_NONE][None]
+        del_c = seeds[GAP_DEL][None]
+        ins_seed = seeds[GAP_INS][None]
+
+        any_prev = jnp.minimum(jnp.minimum(prev_n, prev_i), prev_d)
+        diag = jnp.minimum(
+            _shift_right(any_prev, 1) + _shift_right(sub_row, 1), DEV_INF
+        )
+        none_c = jnp.minimum(none_c, diag)
+        del_new = jnp.minimum(
+            jnp.minimum(jnp.minimum(prev_n, prev_i) + d_open, DEV_INF),
+            jnp.minimum(prev_d + d_ext, DEV_INF),
+        )
+        del_c = jnp.minimum(del_c, del_new)
+        open_src = jnp.minimum(none_c, del_c)
+        open_c = _shift_right(
+            jnp.minimum(open_src + io_ref[...], DEV_INF), 1
+        )
+        cand = jnp.minimum(ins_seed, open_c)
+        ext_into = _shift_right(ie_ref[...], 1)
+        ins_c = _minplus_chain_row(cand, ext_into)
+
+        out_ref[pl.ds(r, 1)] = jnp.stack([none_c[0], ins_c[0], del_c[0]])[None]
+        return none_c, ins_c, del_c
+
+    init = (
+        carry_ref[pl.ds(GAP_NONE, 1)],
+        carry_ref[pl.ds(GAP_INS, 1)],
+        carry_ref[pl.ds(GAP_DEL, 1)],
+    )
+    none_c, ins_c, del_c = jax.lax.fori_loop(0, TB, body, init)
+    carry_ref[...] = jnp.concatenate([none_c, ins_c, del_c], axis=0)
+
+
+@partial(jax.jit, static_argnames=("interpret", "TB"))
+def sweep_pallas_flankless_tiled(
+    sub_rows, ddrows, seeds, io, ie, *, TB=256, interpret=False
+):
+    """Row-tiled flankless sweep: O(TB * Wq) VMEM instead of O(n * Wq).
+
+    Same inputs/outputs as sweep_pallas_flankless; rows padded to a
+    multiple of TB (padded rows produce all-INF output rows, cropped)."""
+    n_rows, Wq = sub_rows.shape
+    nblk = -(-n_rows // TB)
+    padr = nblk * TB - n_rows
+    if padr:
+        sub_rows = jnp.pad(
+            sub_rows, ((0, padr), (0, 0)), constant_values=DEV_INF
+        )
+        ddrows = jnp.pad(ddrows, ((0, padr), (0, 0)), constant_values=DEV_INF)
+        seeds = jnp.pad(
+            seeds, ((0, padr), (0, 0), (0, 0)), constant_values=DEV_INF
+        )
+    sub_b = sub_rows.reshape(nblk * (TB // 8), 8, Wq)
+    dd_b = jnp.pad(
+        ddrows, ((0, 0), (0, 126)), constant_values=DEV_INF
+    ).reshape(nblk * (TB // 8), 8, 128)
+    out = pl.pallas_call(
+        partial(_sweep_kernel_tiled, TB=TB),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((TB // 8, 8, Wq), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TB // 8, 8, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TB, 3, Wq), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, Wq), lambda i: (0, 0)),
+            pl.BlockSpec((1, Wq), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TB, 3, Wq), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nblk * TB, 3, Wq), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((3, Wq), jnp.int32)],
+        compiler_params=None if interpret else _VMEM_LIMIT,
+        interpret=interpret,
+    )(sub_b, dd_b, seeds, io[None], ie[None])
+    return out[:n_rows]
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def sweep_pallas_flankless(sub_rows, ddrows, seeds, io, ie, *, interpret=False):
     """Flankless primary sweep on-chip.
@@ -313,3 +425,17 @@ def sweep_pallas_flanked(subs, ddrows, seeds, io, ie, *, L, R, climb,
         interpret=interpret,
     )(subs_b, dd_b, seeds, io, ie)
     return out
+
+
+def choose_tile(n_rows: int, Wq: int) -> int:
+    """Row-block size for the tiled flankless sweep, sized so one block's
+    VMEM residency (sub + dd + seeds + out, double-buffered) stays well
+    inside the 64 MB ceiling.  Returns 0 when no multiple-of-8 tile fits
+    (pathologically wide rows)."""
+    budget = 16 * 2**20  # bytes for ~28*TB*Wq of block state
+    tb = 512
+    while tb >= 8 and 28 * tb * Wq > budget:
+        tb //= 2
+    if tb < 8:
+        return 0
+    return min(tb, max(8, -(-n_rows // 8) * 8))

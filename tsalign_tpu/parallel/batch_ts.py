@@ -687,7 +687,11 @@ class BatchedTSAligner:
         # sweep -> XLA sweep with every Pallas module kind downgraded.  A
         # Mosaic compile rejection is a clean exception; runtime faults
         # never reach here.
+        sweep_tile = 0
         use_psweep = F == 1 and self.sweeps[0]._pallas_ok()
+        if not use_psweep and F == 1:
+            sweep_tile = self.sweeps[0]._pallas_tile()
+            use_psweep = sweep_tile > 0
         out = None
         last_err = None
         for attempt in ("psweep", "xla", "no_pallas_kinds"):
@@ -707,6 +711,7 @@ class BatchedTSAligner:
             meta, data = build_meta_and_data(
                 self, arrays_b, root_dev, M0_dev, E0_dev, best0, keep,
                 pallas_sweep=attempt == "psweep",
+                sweep_tile=sweep_tile if attempt == "psweep" else 0,
             )
             try:
                 out = _fused_loop(data, meta=meta)

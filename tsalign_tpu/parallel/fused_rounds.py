@@ -75,8 +75,10 @@ class FusedMeta(NamedTuple):
     nq: int
     # Flankless on-chip Pallas sweep inside the loop (the XLA per-row scan
     # is latency-bound; ops/pallas_sweep.py) — downgraded on compile
-    # rejection by the caller's retry chain.
+    # rejection by the caller's retry chain.  sweep_tile > 0 selects the
+    # row-tiled kernel (large shapes the whole-state kernel cannot hold).
     pallas_sweep: bool = False
+    sweep_tile: int = 0
 
 
 def _summ(M_b, lr, lq):
@@ -185,15 +187,24 @@ def _fused_loop(data, *, meta: FusedMeta):
 
     def sweep(seeds):
         if meta.pallas_sweep:
-            from ..ops.pallas_sweep import sweep_pallas_flankless
+            from ..ops.pallas_sweep import (
+                sweep_pallas_flankless,
+                sweep_pallas_flankless_tiled,
+            )
 
             fl_sub, fl_dd, fl_io, fl_ie = data["flankless"]
 
             def one(args):
                 s, subr, dd, io, ie = args
-                M = sweep_pallas_flankless(
-                    subr, dd, s[0].transpose(1, 0, 2), io, ie
-                )
+                if meta.sweep_tile:
+                    M = sweep_pallas_flankless_tiled(
+                        subr, dd, s[0].transpose(1, 0, 2), io, ie,
+                        TB=meta.sweep_tile,
+                    )
+                else:
+                    M = sweep_pallas_flankless(
+                        subr, dd, s[0].transpose(1, 0, 2), io, ie
+                    )
                 return M.transpose(1, 0, 2)[None]
 
             return jax.lax.map(one, (seeds, fl_sub, fl_dd, fl_io, fl_ie))
@@ -339,7 +350,8 @@ def _fused_loop(data, *, meta: FusedMeta):
 
 
 def build_meta_and_data(bt, arrays_b, root_dev, M0_dev, E0_dev, best0,
-                        keep: bool, pallas_sweep: bool = False):
+                        keep: bool, pallas_sweep: bool = False,
+                        sweep_tile: int = 0):
     """Assemble (meta, data) for the fused loop from a BatchedTSAligner
     whose kind state is built."""
     kinds_meta: List[KindMeta] = []
@@ -394,6 +406,7 @@ def build_meta_and_data(bt, arrays_b, root_dev, M0_dev, E0_dev, best0,
         nr=bt.nr,
         nq=bt.nq,
         pallas_sweep=pallas_sweep,
+        sweep_tile=sweep_tile,
     )
     best0_dev = jnp.asarray(
         [min(b, int(DEV_INF)) for b in best0], jnp.int32

@@ -94,6 +94,21 @@ STEPS = [
     ("heli_host", [sys.executable, "scripts/validate_goldens.py", "--cases",
                    "twin_heli_MDC1-AS1_10", "--chunk", "128", "--warm", "2"],
      1800, {"TSALIGN_NO_FUSED": "1"}),
+    # Follow-up steps (invoked by name in later session runs).
+    ("loci_warm", [sys.executable, "scripts/validate_loci.py", "--warm", "2"],
+     2400, {}),
+    ("record_prof", [sys.executable, "scripts/profile_record.py"], 1500, {}),
+    ("heli_bench2", [sys.executable, "-c", (
+        "import sys; sys.path.insert(0, %r);"
+        "import multiprocessing as mp, queue, bench;"
+        "q = mp.Queue(); bench._measure(q)\n"
+        "while True:\n"
+        "    try: print('RESULT', q.get(timeout=5))\n"
+        "    except queue.Empty: break"
+    ) % REPO], 2400, {}),
+    ("ari_warm2", [sys.executable, "scripts/validate_goldens.py", "--cases",
+                   "twin_ari_chrX_146823507_146823598", "--chunk", "128",
+                   "--warm", "2"], 2400, {}),
 ]
 
 

@@ -135,24 +135,31 @@ def main():
     for name, argv, timeout, extra_env in steps:
         env = {**os.environ, **extra_env}
         t0 = time.monotonic()
+        # Stream the child's output to a file so a kill-on-timeout still
+        # leaves the per-segment progress as evidence (subprocess's
+        # capture_output buffers are lost on TimeoutExpired — the round-4
+        # AND round-5 chain100k timeouts both left empty tails).
+        outpath = os.path.join("/tmp", f"tpu_step_{name}.out")
         try:
-            p = subprocess.run(
-                argv, cwd=REPO, env=env, capture_output=True, text=True,
-                timeout=timeout,
-            )
+            with open(outpath, "w") as outf:
+                p = subprocess.run(
+                    argv, cwd=REPO, env=env, stdout=outf,
+                    stderr=subprocess.STDOUT, text=True, timeout=timeout,
+                )
             wall = time.monotonic() - t0
-            tail = (p.stdout + p.stderr)[-2000:]
+            tail = open(outpath).read()[-2000:]
             log({"step": name, "rc": p.returncode, "wall_s": round(wall, 1),
                  "tail": tail})
             if p.returncode != 0:
                 log({"step": "STOP", "after": name,
                      "note": "nonzero exit; chip may be wedged"})
                 return 1
-        except subprocess.TimeoutExpired as e:
+        except subprocess.TimeoutExpired:
             wall = time.monotonic() - t0
-            tail = ((e.stdout or "") + (e.stderr or ""))[-2000:] if (
-                isinstance(e.stdout, str) or isinstance(e.stderr, str)
-            ) else ""
+            try:
+                tail = open(outpath).read()[-2000:]
+            except OSError:
+                tail = ""
             log({"step": name, "rc": "timeout", "wall_s": round(wall, 1),
                  "tail": tail})
             log({"step": "STOP", "after": name,

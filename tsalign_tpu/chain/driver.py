@@ -306,17 +306,21 @@ def _align_segments_batched(
             chunk_items = items[c0 : c0 + cap]
             pairs = [(sr, sq) for _, sr, sq, _ in chunk_items]
             ranges = [rng for *_, rng in chunk_items]
-            # Pad to a power-of-two batch tier by repeating the first
-            # segment (results dropped): the fused program's batch size is
-            # a compile-time static, and per-group remote recompiles would
-            # eat the batching win.
-            tier = 1
-            while tier < len(pairs):
-                tier *= 2
+            # Pad to the FIXED tier (= cap) with all-poison dummy pairs:
+            # the fused program's batch size is a compile-time static, so
+            # variable batch sizes would each pay a (remote) compile —
+            # the round-5 chain100k device run spent its budget exactly
+            # there.  An all-poison pair has real length 0 and target
+            # (0, 0): it converges at round 1 via the k*delta stop and its
+            # pruned entry field is inert, so the padding is near-free.
             n_real_items = len(pairs)
-            while len(pairs) < tier:
-                pairs.append(pairs[0])
-                ranges.append(ranges[0])
+            dummy = (
+                np.full(len(pairs[0][0]), config.alphabet.size, np.int8),
+                np.full(len(pairs[0][1]), config.alphabet.size, np.int8),
+            )
+            while len(pairs) < cap:
+                pairs.append(dummy)
+                ranges.append(AlignmentRange(0, 0, 0, 0))
             try:
                 bt = BatchedTSAligner(
                     cfg_scaled, pairs, ranges=ranges,

@@ -161,10 +161,18 @@ def _bucket(n: int) -> int:
 # + batch module fields) and the stacked sweep arrays are pure functions of
 # (config, padded pair bytes, ...), and rebuilding them dominated the warm
 # batched wall (a fresh aligner instance per run is the natural API).  Each
-# memo keeps ONE entry (the tensors are ~MBs of HBM).
+# memo keeps a handful of entries, FIFO-evicted (the tensors are ~MBs of
+# HBM each; chained-mode probe/traceback batches alternate content).
+_BATCH_MEMO_CAP = 6
 _BATCH_BOUNDS_MEMO: dict = {}
 _BATCH_KINDS_MEMO: dict = {}
 _BATCH_ARRAYS_MEMO: dict = {}
+
+
+def _memo_put(memo: dict, key, value) -> None:
+    while len(memo) >= _BATCH_MEMO_CAP:
+        memo.pop(next(iter(memo)))
+    memo[key] = value
 
 
 class BatchedTSAligner:
@@ -296,8 +304,7 @@ class BatchedTSAligner:
                     )
                     for i, (rl, ql) in enumerate(self.limits)
                 ]
-                _BATCH_BOUNDS_MEMO.clear()
-                _BATCH_BOUNDS_MEMO[key] = bounds
+                _memo_put(_BATCH_BOUNDS_MEMO, key, bounds)
             self._lb_cache = _BATCH_BOUNDS_MEMO[key]
         return self._lb_cache
 
@@ -364,12 +371,12 @@ class BatchedTSAligner:
             self.kind_sets, self._kind_state = _BATCH_KINDS_MEMO[key]
             return
         self._build_kind_sets_uncached(budget)
-        _BATCH_KINDS_MEMO.clear()
-        _BATCH_KINDS_MEMO[key] = (self.kind_sets, self._kind_state)
+        _memo_put(_BATCH_KINDS_MEMO, key, (self.kind_sets, self._kind_state))
 
     def _build_kind_sets_uncached(self, budget: Optional[int]) -> None:
         self.sdel_budget = budget
         self.kind_sets = []
+        lut_cache: dict = {}  # (sk, dk, window) LUTs shared across pk AND pairs
         for i in range(self.n_pairs):
             kinds = []
             lr, lq = self.real[i]
@@ -403,6 +410,7 @@ class BatchedTSAligner:
                             0,
                             self.nq if pk == 0 else self.nr,
                             chunk=self.chunk,
+                            lut_cache=lut_cache,
                         )
                         if km.active:
                             kinds.append(km)
@@ -578,8 +586,7 @@ class BatchedTSAligner:
         if memo_key in _BATCH_ARRAYS_MEMO:
             return _BATCH_ARRAYS_MEMO[memo_key]
         out = self._stack_sweep_arrays_uncached()
-        _BATCH_ARRAYS_MEMO.clear()
-        _BATCH_ARRAYS_MEMO[memo_key] = out
+        _memo_put(_BATCH_ARRAYS_MEMO, memo_key, out)
         return out
 
     def _stack_sweep_arrays_uncached(self):

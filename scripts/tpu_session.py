@@ -128,7 +128,14 @@ def log(entry):
 
 def main():
     want = sys.argv[1:]
-    steps = [s for s in STEPS if not want or s[0] in want]
+    if want:
+        # honour the COMMAND-LINE order (follow-up steps live at the end
+        # of STEPS; a filter in STEPS order ran chains before the
+        # measurement steps in round 5's second session)
+        by_name = {s[0]: s for s in STEPS}
+        steps = [by_name[w] for w in want if w in by_name]
+    else:
+        steps = STEPS
     if not relay_alive():
         log({"step": "relay_check", "ok": False, "note": "tpu_init not in ps"})
         return 1

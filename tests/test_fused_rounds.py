@@ -43,10 +43,15 @@ def _pairs():
     # pair 1: identical twins (early k*delta stop, rounds == 1)
     r2 = rng.integers(0, 4, 70).astype(np.int8)
     pairs.append((r2, r2.copy()))
-    # pair 2: SNPs only
+    # pair 2: SNPs plus a DIFFERENT planted TSM (distinct secondary
+    # content per pair in one batch — regression for the cross-pair LUT
+    # cache bug: the module LUTs embed each pair's secondary sequence, and
+    # sharing them across pairs priced every pair with pair 0's sequences)
     r3 = rng.integers(0, 4, 120).astype(np.int8)
     q3 = r3.copy()
-    for p in (15, 60, 100):
+    comp = get_alphabet("dna-n").complement_array()
+    q3[70:78] = [comp[c] for c in q3[70:78]][::-1]
+    for p in (15, 100):
         q3[p] = (q3[p] + 1) % 4
     pairs.append((r3, q3))
     return pairs

@@ -376,9 +376,12 @@ class BatchedTSAligner:
     def _build_kind_sets_uncached(self, budget: Optional[int]) -> None:
         self.sdel_budget = budget
         self.kind_sets = []
-        lut_cache: dict = {}  # (sk, dk, window) LUTs shared across pk AND pairs
         for i in range(self.n_pairs):
             kinds = []
+            # Per-PAIR LUT cache (shared across the pk variants only): the
+            # LUTs embed the pair's secondary sequence, so sharing across
+            # pairs would price every pair with pair 0's sequences.
+            lut_cache: dict = {}
             lr, lq = self.real[i]
             for pk in (0, 1):
                 for sk in (0, 1):

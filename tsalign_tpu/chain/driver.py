@@ -263,6 +263,7 @@ def _align_segments_batched(
     windows: List[Tuple[Tuple[int, int], Tuple[int, int]]],
     radius: int,
     with_traceback: bool,
+    progress: bool = False,
 ) -> Optional[List[Optional[_SegmentOutcome]]]:
     """Batched device execution of engine-needing windows: segments are
     bucketed by their padded context shape and each bucket runs ONE
@@ -303,6 +304,13 @@ def _align_segments_batched(
             K *= 2
         cfg_scaled = config.scaled_for_length_tiebreak(K)
         for c0 in range(0, len(items), cap):
+            if progress:
+                print(
+                    f"batched {'traceback' if with_traceback else 'probe'} "
+                    f"bucket {br}x{bq}: items {c0}..{min(c0 + cap, len(items))}"
+                    f"/{len(items)}",
+                    flush=True,
+                )
             chunk_items = items[c0 : c0 + cap]
             pairs = [(sr, sq) for _, sr, sq, _ in chunk_items]
             ranges = [rng for *_, rng in chunk_items]
@@ -425,7 +433,7 @@ def chain_align(
     if use_jax and engine_windows and max_template_switches is None:
         batched = _align_segments_batched(
             config, ref, qry, [(c0, c1) for _, c0, c1 in engine_windows],
-            radius, with_traceback=True,
+            radius, with_traceback=True, progress=progress,
         )
     if batched is not None:
         for (s, _c0, _c1), out in zip(engine_windows, batched):
@@ -537,7 +545,8 @@ def chain_align(
             if not wanted:
                 return
             probed = _align_segments_batched(
-                config, ref, qry, wanted, radius, with_traceback=False
+                config, ref, qry, wanted, radius, with_traceback=False,
+                progress=progress,
             )
             if probed is None:
                 return  # int32 overflow: per-window probes fall back

@@ -201,10 +201,15 @@ def _align_segment(
         sub_r = np.concatenate([sub_r, np.full(br - len(sub_r), P, sub_r.dtype)])
         sub_q = np.concatenate([sub_q, np.full(bq - len(sub_q), P, sub_q.dtype)])
     rng = AlignmentRange(r0 - cr0, q0 - cq0, r1 - cr0, q1 - cq0)
+    # Verification probes compare COSTS only (see try_window), so they run
+    # the UNSCALED algebra: the K-scaled magnitudes of large merged windows
+    # overflow the device int32 domain, and round 5's chain100k device run
+    # burned its whole budget in the resulting per-window numpy fallbacks.
     K = 1
-    while K < len(sub_r) + len(sub_q) + 2:
-        K *= 2
-    cfg_scaled = config.scaled_for_length_tiebreak(K)
+    if with_traceback:
+        while K < len(sub_r) + len(sub_q) + 2:
+            K *= 2
+    cfg_scaled = config.scaled_for_length_tiebreak(K) if K > 1 else config
     kw = dict(
         range_=rng,
         # TSLB bounds are a speed trade on segments (exact either way):
@@ -300,9 +305,12 @@ def _align_segments_batched(
     cap = 8 if with_traceback else 32
     for (br, bq), items in sorted(groups.items()):
         K = 1
-        while K < br + bq + 2:
-            K *= 2
-        cfg_scaled = config.scaled_for_length_tiebreak(K)
+        if with_traceback:
+            while K < br + bq + 2:
+                K *= 2
+        cfg_scaled = (
+            config.scaled_for_length_tiebreak(K) if K > 1 else config
+        )
         for c0 in range(0, len(items), cap):
             if progress:
                 print(
@@ -340,7 +348,10 @@ def _align_segments_batched(
                 else:
                     traced = [(r.cost, None) for r in bt.align()]
             except OverflowError:
-                return None
+                # This GROUP's scaled magnitudes exceed the device int32
+                # domain: leave its outcomes None (per-segment fallback)
+                # without abandoning the other groups' batches.
+                continue
             traced = traced[:n_real_items]  # drop padding-tier duplicates
             for (idx, *_), (comp, aln) in zip(chunk_items, traced):
                 if comp >= INF:
@@ -438,18 +449,21 @@ def chain_align(
     if batched is not None:
         for (s, _c0, _c1), out in zip(engine_windows, batched):
             outcomes[s] = out
-    else:
-        for n_done, (s, cut0, cut1) in enumerate(engine_windows):
-            if progress:
-                print(
-                    f"segment {n_done + 1}/{len(engine_windows)}: "
-                    f"R[{cut0[0]}..{cut1[0]}] Q[{cut0[1]}..{cut1[1]}]",
-                    flush=True,
-                )
-            outcomes[s] = _align_segment(
-                config, ref, qry, cut0, cut1, radius, use_jax,
-                max_template_switches,
+    # Per-segment path for whatever remains: the numpy engine mode, a
+    # whole-batch failure, or individual groups whose scaled magnitudes
+    # overflowed the device domain (their outcomes stay None above).
+    remaining = [w for w in engine_windows if outcomes[w[0]] is None]
+    for n_done, (s, cut0, cut1) in enumerate(remaining):
+        if progress:
+            print(
+                f"segment {n_done + 1}/{len(remaining)}: "
+                f"R[{cut0[0]}..{cut1[0]}] Q[{cut0[1]}..{cut1[1]}]",
+                flush=True,
             )
+        outcomes[s] = _align_segment(
+            config, ref, qry, cut0, cut1, radius, use_jax,
+            max_template_switches,
+        )
     segments = len(outcomes)
 
     # Verification pass: convergence analog of the reference's
@@ -549,19 +563,25 @@ def chain_align(
                 progress=progress,
             )
             if probed is None:
-                return  # int32 overflow: per-window probes fall back
+                return
             for w, o in zip(wanted, probed):
-                merged_memo[w] = o
+                if o is not None:  # overflow groups fall to per-window
+                    merged_memo[w] = o
 
         def try_window(s, span):
             """Probe the merged window over outcomes[s:s+span]; rejoin its
-            interior cuts when the merge wins.  Returns True on rejoin."""
+            interior cuts when the merge wins on COST.  Returns True on
+            rejoin.  Probes compare costs only: the split alignment is
+            itself achievable in the merged window, so equal cost means no
+            cost defect; a strictly-longer-TS co-optimal refinement across
+            a cut is not chased (the reference's chain iterate/evaluate
+            loop is likewise cost-driven, chain_align.rs:157-282 — and the
+            K-scaled probe algebra overflows int32 on large windows)."""
             split = window_split(s, span)
             if all_match_safe and split == (0, 0):
                 return False
             probe = merged_window(cuts[s], cuts[s + span], False)
-            joined = (probe.cost, -probe.ts_length)
-            if joined >= split:
+            if probe.cost >= split[0]:
                 return False
             if progress:
                 print(

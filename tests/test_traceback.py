@@ -78,3 +78,46 @@ def test_traceback_planted_tsm_structure():
     assert ents[0].direction == "Reverse"
     sec = sum(n for n, t in aln.entries if isinstance(t, str) and t.startswith("Secondary"))
     assert sec >= 10
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_exit_module_prices_equal_forward_columns(seed):
+    """_ExitModule (the backward/adjoint candidate pricer) must equal the
+    forward _ModuleColumn spec on B[l] for every (l, b) — randomized over
+    configs, pairs, kinds and exit positions."""
+    from tsalign_tpu.ops.tsm_modules import make_kind_spec
+    from tsalign_tpu.traceback import _ExitModule, _ModuleColumn
+
+    rng = np.random.default_rng(900 + seed)
+    al = get_alphabet("dna")
+    cfg = random_config(rng, al, flanks=False)
+    ref, qry = related_pair(rng, al, max_len=26)
+    allow_sdel = bool(seed % 2)
+    checked = 0
+    for pk in (0, 1):
+        for sk in (0, 1):
+            for dk in (0, 1):
+                spec = make_kind_spec(cfg, len(ref), len(qry), pk, sk, dk)
+                if spec is None:
+                    continue
+                p2 = int(rng.integers(1, spec.n_p + 1))
+                em = _ExitModule(spec, cfg, ref, qry, p2, allow_sdel)
+                for b in range(0, spec.n_s + 1, max(1, spec.n_s // 4)):
+                    col = _ModuleColumn(
+                        spec, cfg, ref, qry, b, p2 - min(spec.l_max, p2),
+                        allow_sdel,
+                    )
+                    # col is anchored at p1 = p2 - L; its level l consumes
+                    # P[p1..p1+l) which matches the exit only at l == L,
+                    # so compare per-l with per-l columns instead:
+                    for l in range(0, min(spec.l_max, p2) + 1):
+                        colL = _ModuleColumn(
+                            spec, cfg, ref, qry, b, p2 - l, allow_sdel
+                        )
+                        want = int(colL.B[l])
+                        got = em.price(l, b)
+                        assert got == want, (
+                            pk, sk, dk, p2, b, l, got, want
+                        )
+                        checked += 1
+    assert checked > 0

@@ -199,6 +199,148 @@ class _ModuleColumn:
                 raise RuntimeError("module backtrack: insertion stuck")
 
 
+class _ExitModule:
+    """Exit-anchored pricing of ALL candidate module columns of one kind.
+
+    Every candidate of one `_reconstruct_tsm` call shares the exit primary
+    position p2 (a forward column consumes P[p1..p2) with p1 = p2 - l), so
+    ONE backward (min,+)-adjoint DP over the ABSOLUTE secondary axis
+    prices B[l] of every (l, b) with a single vector min:
+
+        B(l, b) = min_a  seed[b][a - base(b)] + RN[l][a]
+
+    where RN[l] = close_adj(R[l])[GAP_NONE] and R[m] = value-to-go of
+    consuming the last m primary chars to the closed exit (the adjoint of
+    `_ModuleColumn._run`'s close/transition chain; `close_adj` absorbs the
+    level-0 seed closure via <close(seed), R> = <seed, close_adj(R)>).
+    The forward column — the executable spec, equality-tested in
+    tests/test_traceback.py — is built only for the one matching
+    candidate (its level tables drive the backtrack).  This removed the
+    round-5 record-wall hotspot: 2805 full column DPs per reconstruct
+    (58 s of a 71.5 s warm record, scripts/profile_record.py).
+    """
+
+    def __init__(self, spec: KindSpec, config, ref, qry, p2: int,
+                 allow_sdel: bool):
+        self.spec = spec
+        comp = np.append(
+            config.alphabet.complement_array().astype(np.int64),
+            config.alphabet.size,
+        )
+        from .ops.jax_primary import _pad_table_for_poison
+
+        table = _pad_table_for_poison(config.secondary_edit_costs(_DK[spec.dk]))
+        P = np.asarray(ref if spec.pk == 0 else qry, dtype=np.int64)
+        sec = np.asarray(ref if spec.sk == 0 else qry, dtype=np.int64)
+        n_s, r_lo, r_hi = spec.n_s, spec.r_lo, spec.r_hi
+        self.W = W = r_hi - r_lo + 1
+        self.delta = 1 if spec.dk == 0 else -1
+        self.base_off = r_lo - (1 if spec.dk == 1 else 0)
+        # absolute secondary axis: a = b + r (+ dk shift), b over the seed
+        # table's first axis [0, n_s]
+        n_b = spec.n_s
+        self.a_lo = a_lo = self.base_off
+        a_hi = n_b + self.base_off + W - 1
+        WA = a_hi - a_lo + 1
+        a = np.arange(a_lo, a_hi + 1)
+        valid = (a >= 0) & (a < n_s)
+        raw = sec[np.clip(a, 0, max(n_s - 1, 0))] if n_s else np.zeros_like(a)
+        schar = np.where(valid, comp[raw] if spec.dk == 1 else raw, -1)
+        bonus = config.secondary_length_bonus
+        sub = np.where(table.substitution < INF, table.substitution - bonus, INF)
+        self.pgo = np.where(table.gap_open < INF, table.gap_open - bonus, INF)
+        self.pge = np.where(table.gap_extend < INF, table.gap_extend - bonus, INF)
+        sdel_open = np.where(valid, table.gap_open[schar.clip(0)], INF)
+        sdel_ext = np.where(valid, table.gap_extend[schar.clip(0)], INF)
+
+        d = self.delta
+
+        def shift_from(x, k):
+            """y[a] = x[a + k] (INF beyond the window)."""
+            y = np.full_like(x, INF)
+            if k >= 0:
+                if k < len(x):
+                    y[: len(x) - k] = x[k:]
+            else:
+                y[-k:] = x[:k] if k != 0 else x
+            return y
+
+        def close_adj(R):
+            """Adjoint of _ModuleColumn._close: value-to-go BEFORE the
+            within-level sdel closure, given value-to-go after (R)."""
+            if not allow_sdel:
+                return R
+            Rn, Ri, Rd = R
+            # X[a] = min(Rd[a], sdel_ext[a] + X[a + d]) — the DEL chain's
+            # directional value-to-go (a min-plus scan, reversed for d=1).
+            X = _chain_to_go(Rd, sdel_ext, d)
+            open_to = shift_from(X, d)
+            U_n = np.minimum(Rn, _sat(sdel_open, open_to))
+            U_i = np.minimum(Ri, _sat(sdel_open, open_to))
+            return U_n, U_i, X
+
+        L = min(spec.l_max, p2)
+        self.L = L
+        RN = np.full((L + 1, WA), INF, dtype=np.int64)
+        R = (
+            np.zeros(WA, dtype=np.int64),
+            np.zeros(WA, dtype=np.int64),
+            np.zeros(WA, dtype=np.int64),
+        )
+        U = close_adj(R)
+        RN[0] = U[0]  # seed populates GAP_NONE only
+        for m in range(1, L + 1):
+            pidx = p2 - m
+            if pidx < 0 or pidx >= spec.n_p:
+                break
+            pc = int(P[pidx])
+            sub_a = np.where(schar >= 0, sub[pc, schar.clip(0)], INF)
+            io, ie = int(self.pgo[pc]), int(self.pge[pc])
+            Un, Ui, Ud = U if m == 1 else close_adj(R)
+            # diag: (any g, a) --sub_a[a]--> (NONE, a + d)
+            diagc = _sat(sub_a, shift_from(Un, d))
+            insN = _sat(np.full_like(Un, io), Ui)
+            insI = _sat(np.full_like(Un, ie), Ui)
+            R = (
+                np.minimum(diagc, insN),
+                np.minimum(diagc, insI),
+                np.minimum(diagc, insN),
+            )
+            U = close_adj(R)
+            RN[m] = U[0]
+        self.RN = RN
+
+    def price(self, l: int, b: int) -> int:
+        """B[l] of the forward column (p1 = p2 - l, b), in O(W)."""
+        if l > self.L:
+            return int(INF)
+        base = b + self.base_off - self.a_lo
+        window = self.RN[l][base : base + self.W]
+        seed = self.spec.seed[b]
+        if window.shape[0] != self.W:
+            return int(INF)
+        v = _sat(seed, window).min()
+        return int(v)
+
+
+def _chain_to_go(Rd: np.ndarray, ext: np.ndarray, d: int) -> np.ndarray:
+    """X[a] = min(Rd[a], ext[a] + X[a + d]) — directional value-to-go of
+    the sdel DEL chain, via the forward min-plus scan on the (possibly
+    reversed) axis: min_plus_scan computes D[t] = min(c[t], D[t-1]+e[t])."""
+    from .ops.primary_sweep import min_plus_scan
+
+    if d == 1:
+        return min_plus_scan(Rd[::-1], ext[::-1], axis=0)[::-1]
+    return min_plus_scan(Rd, ext, axis=0)
+
+
+def _sat(a, b):
+    """Saturating (min,+) add on host int64 (INF-absorbing)."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    return np.where((a < INF) & (b < INF), a + b, INF)
+
+
 class TracebackEngine:
     def __init__(
         self,
@@ -329,6 +471,16 @@ class TracebackEngine:
             )
         return self._columns[key]
 
+    def _exit_module(self, pk, sk, dk, spec, p2) -> _ExitModule:
+        key = (pk, sk, dk, p2)
+        if not hasattr(self, "_exit_modules"):
+            self._exit_modules = {}
+        if key not in self._exit_modules:
+            self._exit_modules[key] = _ExitModule(
+                spec, self.config, self.ref, self.qry, p2, self.allow_sdel
+            )
+        return self._exit_modules[key]
+
     def _reconstruct_tsm(self, i, j, v, A_cells):
         cfg = self.config
         length_fn, ldiff_fn = cfg.length_costs, cfg.length_difference_costs
@@ -352,6 +504,7 @@ class TracebackEngine:
                     if not (0 <= j2 < spec.n_anti_real):
                         continue
                     anti_fn = cfg.anti_primary_gap_costs(_DK[dk])
+                    em = self._exit_module(pk, sk, dk, spec, p2)
                     for l in range(spec.min_len, min(spec.l_max, p2) + 1):
                         lc = _eval(length_fn, l)
                         if lc >= INF:
@@ -380,8 +533,11 @@ class TracebackEngine:
                             if rem < -slack:
                                 continue
                             b = p1 if spec.same_seq else e_anti
-                            seed_row = spec.seed[b]
-                            if not (seed_row <= rem + slack).any():
+                            # Exact O(W) candidate price from the shared
+                            # exit-anchored DP; the full forward column is
+                            # built only for the hit (its level tables
+                            # drive the backtrack).
+                            if em.price(l, b) != rem:
                                 continue
                             col = self._column(pk, sk, dk, spec, p1, b)
                             if col.B[l] == rem:

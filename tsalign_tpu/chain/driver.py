@@ -299,11 +299,17 @@ def _align_segments_batched(
     groups: dict = {}
     for key, idx, sub_r, sub_q, rng in prepped:
         groups.setdefault(key, []).append((idx, sub_r, sub_q, rng))
-    # Sub-batch cap: traceback mode keeps max_rounds+1 stacked round fields
-    # in HBM per batch (fused loop), so bound the batch size.  Powers of
-    # two, matching the padding tiers below.
-    cap = 8 if with_traceback else 32
     for (br, bq), items in sorted(groups.items()):
+        # Sub-batch cap scaled by bucket AREA: HBM holds B fields of
+        # br*bq cells (plus max_rounds+1 stacked round slots in traceback
+        # mode) — a flat cap of 32 at the 2048 bucket RESOURCE_EXHAUSTED
+        # the chip (round-5 chain100k).  Power-of-two caps keep the fused
+        # batch tiers (and so the compiled program set) small.
+        area = br * bq
+        budget = (8 if with_traceback else 32) * 256 * 256
+        cap = 1
+        while cap * 2 * area <= budget and cap < (8 if with_traceback else 32):
+            cap *= 2
         K = 1
         if with_traceback:
             while K < br + bq + 2:
@@ -524,6 +530,41 @@ def chain_align(
                     break
             return ja, jb
 
+        def cert_window_if_needed(i):
+            """The certificate window for cut i, or None when the ladder
+            already covers it or the CLEAN-CORE skip applies: when every
+            segment overlapping the fp-core [c - fp, c + fp] is all-match
+            (cost 0, ts 0) and TSMs have positive cost, any single TSM
+            crossing cut i lies inside that clean core (footprint bound)
+            and would have to beat an all-match stretch with a
+            positive-cost TSM — impossible; improving structures living
+            elsewhere in the window cross OTHER cuts and are certified by
+            those cuts' own windows.  Without this skip, every interior
+            cut of a long exact run spawned a multi-kb probe (174 windows
+            at the 2048 bucket in the round-5 chain100k run)."""
+            ja, jb = cert_window(i)
+            if jb - ja <= max(verify_spans):
+                return None
+            if all_match_safe:
+                cr, cq = cuts[i]
+                core_clean = True
+                for s2 in range(ja, jb):
+                    if (
+                        cuts[s2 + 1][0] <= cr - fp
+                        or cuts[s2][0] >= cr + fp
+                    ) and (
+                        cuts[s2 + 1][1] <= cq - fp
+                        or cuts[s2][1] >= cq + fp
+                    ):
+                        continue  # outside the core on both axes
+                    o = outcomes[s2]
+                    if o.cost != 0 or o.ts_length != 0:
+                        core_clean = False
+                        break
+                if core_clean:
+                    return None
+            return ja, jb
+
         def window_split(s, span):
             parts = outcomes[s : s + span]
             return (
@@ -553,9 +594,9 @@ def chain_align(
                     want(s, span)
             if certify_footprint:
                 for i in range(1, len(cuts) - 1):
-                    ja, jb = cert_window(i)
-                    if jb - ja > max(verify_spans):
-                        want(ja, jb - ja)
+                    w = cert_window_if_needed(i)
+                    if w is not None:
+                        want(w[0], w[1] - w[0])
             if not wanted:
                 return
             probed = _align_segments_batched(
@@ -623,25 +664,12 @@ def chain_align(
             # iterate/evaluate loop, chain_align.rs:157-282) composes the
             # certificates across interacting TSMs.
             if certify_footprint:
-                fp = radius
                 i = 1
                 while i < len(cuts) - 1:
-                    cr, cq = cuts[i]
-                    ja = 0
-                    for j in range(i - 1, -1, -1):
-                        if cuts[j][0] <= cr - fp and cuts[j][1] <= cq - fp:
-                            ja = j
-                            break
-                    jb = len(cuts) - 1
-                    for j in range(i + 1, len(cuts)):
-                        if cuts[j][0] >= cr + fp and cuts[j][1] >= cq + fp:
-                            jb = j
-                            break
-                    if jb - ja > max(verify_spans) and try_window(
-                        ja, jb - ja
-                    ):
+                    w = cert_window_if_needed(i)
+                    if w is not None and try_window(w[0], w[1] - w[0]):
                         changed = True
-                        i = max(1, ja)
+                        i = max(1, w[0])
                     else:
                         i += 1
             if not changed:

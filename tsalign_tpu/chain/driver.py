@@ -572,6 +572,20 @@ def chain_align(
                 -sum(o.ts_length for o in parts),
             )
 
+        def ladder_oversized(s, span):
+            """A ladder window spanning a multi-kb exact stretch is
+            redundant: any single-TSM structure crossing its cuts fits in
+            the (bounded) footprint-certificate windows of those cuts, so
+            probing the huge merged window buys nothing the certificates
+            don't — and each oversized probe is a full engine run at the
+            2048+ bucket (174 of them burned the round-5 chain100k
+            budget)."""
+            if not certify_footprint:
+                return False  # no certificates to fall back on
+            cap_bp = max(6 * fp, 768)
+            (r0, q0), (r1, q1) = cuts[s], cuts[s + span]
+            return (r1 - r0) > cap_bp or (q1 - q0) > cap_bp
+
         def prefetch_pass():
             """Batch this pass's candidate probe windows through the device
             engine (one fused dispatch per bucket shape) so the sequential
@@ -583,6 +597,8 @@ def chain_align(
                 if s < 0 or s + span > len(outcomes):
                     return
                 if all_match_safe and window_split(s, span) == (0, 0):
+                    return
+                if span <= max(verify_spans) and ladder_oversized(s, span):
                     return
                 w = (cuts[s], cuts[s + span])
                 if w not in merged_memo and w not in seen:
@@ -641,11 +657,12 @@ def chain_align(
             if use_jax and max_template_switches is None:
                 prefetch_pass()
             # Base ladder: cheap fixed spans first (they catch the common
-            # single- and double-cut structures with small windows).
+            # single- and double-cut structures with small windows);
+            # oversized windows defer to the footprint certificates.
             for span in verify_spans:
                 s = 0
                 while s + span <= len(outcomes):
-                    if try_window(s, span):
+                    if not ladder_oversized(s, span) and try_window(s, span):
                         changed = True
                         s = max(0, s - 1)
                     else:

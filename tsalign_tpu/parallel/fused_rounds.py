@@ -377,19 +377,7 @@ def build_meta_and_data(bt, arrays_b, root_dev, M0_dev, E0_dev, best0,
 
     from ..engine import min_tsm_cost_bound
 
-    lbs = bt._bounds()
-    Rr, Q = bt.nr + 1, bt.nq + 1
-    S32 = np.full((bt.n_pairs, Rr, Q), int(DEV_INF), np.int32)
-    has_lb = np.zeros(bt.n_pairs, bool)
-    for i, lb in enumerate(lbs):
-        if lb is None:
-            continue
-        has_lb[i] = True
-        # Finite values clamp BELOW the device-infinite threshold (a lower
-        # bound may only shrink — sound); host-INF maps to DEV_INF so the
-        # S == INF prune is preserved.
-        S = np.minimum(lb.S, _BIG - 1).astype(np.int32)
-        S32[i] = np.where(lb.S >= INF, np.int32(DEV_INF), S)
+    S32, has_lb = bt._bounds_device()
 
     F = bt.config.left_flank_length + bt.config.right_flank_length + 1
     meta = FusedMeta(
@@ -414,8 +402,8 @@ def build_meta_and_data(bt, arrays_b, root_dev, M0_dev, E0_dev, best0,
     data = {
         "root": root_dev,
         "arrays": arrays_b,
-        "S32": jnp.asarray(S32),
-        "has_lb": jnp.asarray(has_lb),
+        "S32": S32,
+        "has_lb": has_lb,
         "lr": jnp.asarray([r for r, _ in bt.limits], jnp.int32),
         "lq": jnp.asarray([q for _, q in bt.limits], jnp.int32),
         "kinds": kind_data,

@@ -109,6 +109,8 @@ STEPS = [
     ("ari_warm2", [sys.executable, "scripts/validate_goldens.py", "--cases",
                    "twin_ari_chrX_146823507_146823598", "--chunk", "128",
                    "--warm", "2"], 2400, {}),
+    ("twin1000", [sys.executable, "scripts/validate_twin1000.py",
+                  "--traceback"], 2400, {}),
 ]
 
 

@@ -209,6 +209,52 @@ def _measure_throughput(q):
     )
 
 
+def _measure_chain(q):
+    """Chained-mode spot check for the driver record: the 30 kb synthetic
+    validation case (validate_chain_scale.py construction) through the
+    batched device chain pipeline; reports wall + exactness (cost equals
+    the constructed optimum and the stitched alignment re-prices)."""
+    import numpy as np
+
+    from tsalign_tpu.alphabet import get_alphabet
+    from tsalign_tpu.chain.driver import chain_align
+    from tsalign_tpu.config import TemplateSwitchConfig
+    from tsalign_tpu.pricing import price_alignment
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    import validate_chain_scale as vcs
+
+    cfg = TemplateSwitchConfig.parse_plain(vcs.CONFIG, get_alphabet("dna-n"))
+    comp = get_alphabet("dna-n").complement_array()
+    n = 30_000
+    rng = np.random.default_rng(230147)
+    ref = rng.integers(0, 4, size=n).astype(np.int8)
+    qry = ref.copy()
+    ts_sites = list(range(n // 20, n - 50, max(n // 10, 100)))
+    for p in ts_sites:
+        qry[p : p + 8] = [comp[c] for c in qry[p : p + 8]][::-1]
+    snp_sites = [
+        p
+        for p in range(n // 40, n - 50, max(n // 100, 50))
+        if all(abs(p - t) > 60 for t in ts_sites)
+    ]
+    for p in snp_sites:
+        qry[p] = (qry[p] + 1) % 4
+    expected = 2 * len(ts_sites) + 2 * len(snp_sites)
+
+    t0 = time.monotonic()
+    res = chain_align(cfg, ref, qry, engine="jax", target_segment=1024)
+    wall = time.monotonic() - t0
+    priced = price_alignment(cfg, ref, qry, res.alignment)
+    q.put(
+        {
+            "stage": "chain",
+            "chain30k_wall": wall,
+            "chain30k_ok": res.cost == expected and priced == res.cost,
+        }
+    )
+
+
 def _run_child(target, timeout0, retry_timeout=None, recover=30, stage=None,
                attempts=2):
     """Run `target(q)` in a child with a hard timeout and one retry.
@@ -341,6 +387,18 @@ def main():
                 tp["cells_per_sec"] / SOL_CELLS_PER_SEC, 8
             ),
             batched_all_found=tp["all_found"],
+        )
+    print(json.dumps(out), flush=True)
+
+    # Chained-mode spot check (last: can only ENRICH the record — every
+    # complete line above already stands on its own).  One attempt only.
+    ch = _run_child(_measure_chain, 900, recover=0, stage="chain", attempts=1)
+    if ch is None or "chain30k_wall" not in ch:
+        out["chain_error"] = "chained-mode check timed out/wedged"
+    else:
+        out.update(
+            chain30k_wall=round(ch["chain30k_wall"], 1),
+            chain30k_ok=ch["chain30k_ok"],
         )
     out["bench_total_s"] = round(time.monotonic() - t_start, 1)
     print(json.dumps(out), flush=True)

@@ -137,8 +137,8 @@ def test_twin_1000_001ts_narrowed_pin():
     one reverse RQ TSM (base 2) at offset -17, length 13, gap 11."""
     cfg, ref, qry = _load("twin_1000_0.01_ts")
     cfgN = _narrowed_1000(
-        cfg, rq_qr=(-20, 2), rr_qq=None, max_len=15, rev_gap=(-4, 14),
-        ldiff=(-4, 2),
+        cfg, rq_qr=(-18, 1), rr_qq=None, max_len=14, rev_gap=(-2, 12),
+        ldiff=(-3, 0),
     )
     res = DenseAligner(cfgN, ref, qry).align()
     assert res.cost == 22
